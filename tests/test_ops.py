@@ -1,0 +1,196 @@
+"""Unit tests for tpufusion.ops — numerical checks against reference math."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpufusion.ops import (
+    downsample_2x,
+    make_blur_kernel,
+    masked_composite,
+    modulated_conv2d,
+    pgd_update,
+    upfirdn2d,
+    upsample_2x,
+)
+
+
+class TestUpfirdn2d:
+    def test_identity_kernel(self):
+        x = jax.random.normal(jax.random.key(0), (2, 8, 8, 3))
+        k = jnp.ones((1, 1))
+        y = upfirdn2d(x, k, pad=(0, 0))
+        np.testing.assert_allclose(y, x, atol=1e-6)
+
+    def test_upsample_shape_and_mass(self):
+        x = jnp.ones((1, 8, 8, 2))
+        y = upsample_2x(x)
+        assert y.shape == (1, 16, 16, 2)
+        # gain-4 kernel preserves mean brightness of interior pixels
+        np.testing.assert_allclose(np.asarray(y)[0, 8, 8, 0], 1.0, atol=1e-5)
+
+    def test_downsample_shape(self):
+        x = jax.random.normal(jax.random.key(1), (2, 16, 16, 4))
+        y = downsample_2x(x)
+        assert y.shape == (2, 8, 8, 4)
+
+    def test_down_of_constant_is_constant(self):
+        x = jnp.full((1, 16, 16, 1), 3.5)
+        y = downsample_2x(x)
+        np.testing.assert_allclose(np.asarray(y)[0, 4, 4, 0], 3.5, atol=1e-5)
+
+    def test_blur_kernel_normalised(self):
+        k = make_blur_kernel((1, 3, 3, 1), gain=1.0)
+        np.testing.assert_allclose(float(jnp.sum(k)), 1.0, atol=1e-6)
+
+
+class TestModulatedConv:
+    def test_matches_per_sample_weights(self):
+        """Input-scaling form == explicit per-sample modulated weights."""
+        key = jax.random.key(0)
+        k1, k2, k3 = jax.random.split(key, 3)
+        x = jax.random.normal(k1, (3, 8, 8, 4))
+        w = jax.random.normal(k2, (3, 3, 4, 6))
+        s = jax.random.normal(k3, (3, 4)) + 1.0
+
+        y = modulated_conv2d(x, w, s, demodulate=True)
+
+        # reference math: per-sample weight w*s, demodulated
+        scale = 1.0 / np.sqrt(4 * 9)
+        outs = []
+        for n in range(3):
+            wn = np.asarray(w) * scale * np.asarray(s)[n][None, None, :, None]
+            sigma = 1.0 / np.sqrt((wn**2).sum(axis=(0, 1, 2)) + 1e-8)
+            wn = wn * sigma[None, None, None, :]
+            yn = jax.lax.conv_general_dilated(
+                x[n : n + 1],
+                jnp.asarray(wn),
+                (1, 1),
+                ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            outs.append(np.asarray(yn))
+        np.testing.assert_allclose(np.asarray(y), np.concatenate(outs), rtol=2e-4, atol=2e-4)
+
+    def test_upsample_doubles(self):
+        x = jax.random.normal(jax.random.key(0), (2, 8, 8, 4))
+        w = jax.random.normal(jax.random.key(1), (3, 3, 4, 8))
+        s = jnp.ones((2, 4))
+        y = modulated_conv2d(x, w, s, up=True)
+        assert y.shape == (2, 16, 16, 8)
+
+    def test_downsample_halves(self):
+        x = jax.random.normal(jax.random.key(0), (2, 16, 16, 4))
+        w = jax.random.normal(jax.random.key(1), (3, 3, 4, 8))
+        s = jnp.ones((2, 4))
+        y = modulated_conv2d(x, w, s, down=True)
+        assert y.shape == (2, 8, 8, 8)
+
+    def test_up_path_matches_torch_oracle(self):
+        """Full up path (conv_transpose + blur + demod) vs a torch oracle
+        implementing the rosinality modulated-upsample equations."""
+        torch = pytest.importorskip("torch")
+        import torch.nn.functional as F
+
+        rng = np.random.RandomState(0)
+        B, H, Cin, Cout, K = 2, 6, 4, 5, 3
+        x = rng.randn(B, H, H, Cin).astype(np.float32)
+        w = rng.randn(K, K, Cin, Cout).astype(np.float32)
+        s = (rng.randn(B, Cin) + 1.0).astype(np.float32)
+
+        ours = np.asarray(modulated_conv2d(jnp.asarray(x), jnp.asarray(w), jnp.asarray(s), up=True))
+
+        # ---- torch oracle (rosinality ModulatedConv2d, upsample branch) ----
+        xt = torch.from_numpy(x.transpose(0, 3, 1, 2))  # NCHW
+        wt = torch.from_numpy(w.transpose(3, 2, 0, 1))  # (Cout, Cin, K, K)
+        st = torch.from_numpy(s)
+        scale = 1.0 / np.sqrt(Cin * K * K)
+        weight = scale * wt[None] * st[:, None, :, None, None]  # (B,Co,Ci,K,K)
+        demod = torch.rsqrt(weight.pow(2).sum([2, 3, 4]) + 1e-8)
+        weight = weight * demod[:, :, None, None, None]
+        weight = weight.transpose(1, 2).reshape(B * Cin, Cout, K, K)
+        xg = xt.reshape(1, B * Cin, H, H)
+        y = F.conv_transpose2d(xg, weight, padding=0, stride=2, groups=B)
+        y = y.reshape(B, Cout, 2 * H + 1, 2 * H + 1)
+        # Blur: 4-tap [1,3,3,1] outer kernel, gain 4, pad (1,1)
+        k1 = np.array([1, 3, 3, 1], dtype=np.float32)
+        k2 = np.outer(k1, k1)
+        k2 = k2 / k2.sum() * 4.0
+        kt = torch.from_numpy(k2)[None, None].repeat(Cout, 1, 1, 1)
+        y = F.conv2d(F.pad(y, (1, 1, 1, 1)), kt, groups=Cout)
+        oracle = y.numpy().transpose(0, 2, 3, 1)
+
+        assert ours.shape == oracle.shape == (B, 2 * H, 2 * H, Cout)
+        np.testing.assert_allclose(ours, oracle, rtol=2e-4, atol=2e-4)
+
+    def test_down_path_matches_torch_oracle(self):
+        torch = pytest.importorskip("torch")
+        import torch.nn.functional as F
+
+        rng = np.random.RandomState(1)
+        B, H, Cin, Cout, K = 2, 8, 4, 5, 3
+        x = rng.randn(B, H, H, Cin).astype(np.float32)
+        w = rng.randn(K, K, Cin, Cout).astype(np.float32)
+        s = (rng.randn(B, Cin) + 1.0).astype(np.float32)
+
+        ours = np.asarray(modulated_conv2d(jnp.asarray(x), jnp.asarray(w), jnp.asarray(s), down=True))
+
+        xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+        wt = torch.from_numpy(w.transpose(3, 2, 0, 1))
+        st = torch.from_numpy(s)
+        scale = 1.0 / np.sqrt(Cin * K * K)
+        weight = scale * wt[None] * st[:, None, :, None, None]
+        demod = torch.rsqrt(weight.pow(2).sum([2, 3, 4]) + 1e-8)
+        weight = weight * demod[:, :, None, None, None]
+        # Blur first (downsample branch): pad ((p+1)//2, p//2), p = 4-2+K-1
+        k1 = np.array([1, 3, 3, 1], dtype=np.float32)
+        k2 = np.outer(k1, k1)
+        k2 = k2 / k2.sum()
+        kt = torch.from_numpy(k2)[None, None].repeat(Cin, 1, 1, 1)
+        p = (4 - 2) + (K - 1)
+        xb = F.conv2d(F.pad(xt, ((p + 1) // 2, p // 2, (p + 1) // 2, p // 2)), kt, groups=Cin)
+        weight = weight.reshape(B * Cout, Cin, K, K)
+        xg = xb.reshape(1, B * Cin, xb.shape[2], xb.shape[3])
+        y = F.conv2d(xg, weight, stride=2, groups=B)
+        oracle = y.reshape(B, Cout, H // 2, H // 2).numpy().transpose(0, 2, 3, 1)
+
+        assert ours.shape == oracle.shape
+        np.testing.assert_allclose(ours, oracle, rtol=2e-4, atol=2e-4)
+
+
+class TestPGDUpdate:
+    def test_semantics(self):
+        """Matches the reference PGD step (`interpolation.py:92-94`)."""
+        key = jax.random.key(0)
+        img = jax.random.uniform(key, (2, 16, 16, 3), minval=-1, maxval=1)
+        adv = img + 0.01
+        grad = jax.random.normal(jax.random.key(1), img.shape)
+        alpha, eps = 0.02, 0.05
+        out = pgd_update(adv, grad, img, alpha, eps, -1.0, 1.0)
+
+        expect = adv + alpha * jnp.sign(grad)
+        delta = jnp.clip(expect - img, -eps, eps)
+        expect = jnp.clip(img + delta, -1.0, 1.0)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(expect), atol=1e-6)
+
+    def test_stays_in_eps_ball(self):
+        img = jnp.zeros((1, 8, 8, 3))
+        adv = img
+        for i in range(10):
+            g = jax.random.normal(jax.random.key(i), img.shape)
+            adv = pgd_update(adv, g, img, 0.1, 0.05)
+        assert float(jnp.max(jnp.abs(adv - img))) <= 0.05 + 1e-6
+
+
+class TestMaskedComposite:
+    def test_composite_and_clamp(self):
+        img = jnp.full((1, 4, 4, 3), 0.5)
+        patch = jnp.full((1, 4, 4, 3), 10.0)
+        mask = jnp.zeros((1, 4, 4, 3)).at[:, 1:3, 1:3].set(1.0)
+        out = masked_composite(img, patch, mask)
+        # clamp to img range => patched region clipped to 0.5
+        np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-6)
+        out2 = masked_composite(img, patch, mask, clip_min=-1.0, clip_max=1.0)
+        assert float(out2[0, 1, 1, 0]) == pytest.approx(1.0)
+        assert float(out2[0, 0, 0, 0]) == pytest.approx(0.5)

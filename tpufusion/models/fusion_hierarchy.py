@@ -1,0 +1,250 @@
+"""StyleFusion semantic-part hierarchy + fusion nets — reference C3.
+
+The reference imports ``stylefusion.sf_hierarchy.SFHierarchyFFHQ/Car/Church``
+(`code/style_fusion_simple.py:12,62-80`): a tree of semantic part nodes, each
+internal node owning a small "fusion net" that blends its two children's
+per-layer style codes; ``base_blender.forward(s_dict)`` walks the tree and
+returns one blended style vector (`style_fusion_simple.py:164`).
+
+The exact external fusion-net weights/architecture are not vendored in the
+reference, so this is a behavioural reconstruction honouring every call-site
+contract (node names, ``get_all_active_parts``, ``load_fusion_net`` from a
+JSON manifest, dict-in/s-out blending).  Architecture: per style layer, a
+gated blend
+
+    g   = sigmoid(MLP([s_left ; s_right ; s_base]))       (per channel)
+    out = g * s_left + (1 - g) * s_right
+
+where ``s_base`` is the s-dict entry registered under the *internal* node's
+own name — this is why the reference's swap table writes internal names like
+``skin_mouth``/``face``/``bg_hair_clothes`` (`style_fusion_simple.py:95-104`).
+
+Tree shapes (part names from the swap table and SURVEY §2 C3):
+  FFHQ:   all(face(eyes, skin_mouth(mouth, skin)),
+              bg_hair_clothes(hair, bg(background, shirt)))
+  Car:    all(car(car_body, wheels),
+              background(background_top, background_bottom))
+  Church: all(body, background(background_top, background_bottom))
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Dict, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpufusion.core.dtypes import Policy, default_policy
+
+
+# ---------------------------------------------------------------------------
+# Tree structure
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class PartNode:
+    name: str
+    children: Tuple[str, str] | None = None  # (left, right) or leaf
+
+
+def _tree(spec: Dict[str, Tuple[str, str]], leaves: Sequence[str]) -> Dict[str, PartNode]:
+    nodes = {name: PartNode(name, kids) for name, kids in spec.items()}
+    for leaf in leaves:
+        nodes[leaf] = PartNode(leaf)
+    return nodes
+
+
+FFHQ_TREE = _tree(
+    {
+        "all": ("face", "bg_hair_clothes"),
+        "face": ("eyes", "skin_mouth"),
+        "skin_mouth": ("mouth", "skin"),
+        "bg_hair_clothes": ("hair", "bg"),
+        "bg": ("background", "shirt"),
+    },
+    ["eyes", "mouth", "skin", "hair", "background", "shirt"],
+)
+
+CAR_TREE = _tree(
+    {
+        "all": ("car", "background"),
+        "car": ("car_body", "wheels"),
+        "background": ("background_top", "background_bottom"),
+    },
+    ["car_body", "wheels", "background_top", "background_bottom"],
+)
+
+CHURCH_TREE = _tree(
+    {
+        "all": ("body", "background"),
+        "background": ("background_top", "background_bottom"),
+    },
+    ["body", "background_top", "background_bottom"],
+)
+
+TREES = {"ffhq": FFHQ_TREE, "car": CAR_TREE, "church": CHURCH_TREE}
+
+# Reference part-name aliases (e.g. car "body" refers to the car_body node).
+ALIASES = {"car": {"body": "car_body"}, "ffhq": {}, "church": {}}
+
+
+def get_all_active_parts(tree: Dict[str, PartNode], root: str = "all"):
+    """All node names in the subtree (internal + leaves), preorder —
+    the parts the drawer seeds with the base latent
+    (`style_fusion_simple.py:85-87`)."""
+    out = []
+
+    def walk(name):
+        out.append(name)
+        node = tree[name]
+        if node.children:
+            for c in node.children:
+                walk(c)
+
+    walk(root)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Fusion net
+# ---------------------------------------------------------------------------
+
+
+class FusionNet(nn.Module):
+    """Per-layer gated blender for one internal node.
+
+    ``style_dims`` are the channel widths of each style layer (generator
+    ``style_input_dims()``); one small gate head per layer.
+    """
+
+    style_dims: Tuple[int, ...]
+    hidden: int = 128
+    policy: Policy = dataclasses.field(default_factory=default_policy)
+
+    @nn.compact
+    def __call__(self, s_left, s_right, s_base):
+        out = []
+        pd = self.policy.param_dtype
+        for i, dim in enumerate(self.style_dims):
+            a, b, c = s_left[i], s_right[i], s_base[i]
+            h = jnp.concatenate(
+                [a.astype(jnp.float32), b.astype(jnp.float32), c.astype(jnp.float32)],
+                axis=-1,
+            )
+            h = nn.Dense(self.hidden, param_dtype=pd, name=f"gate{i}_fc1")(h)
+            h = jax.nn.leaky_relu(h, 0.2)
+            g = jax.nn.sigmoid(nn.Dense(dim, param_dtype=pd, name=f"gate{i}_fc2")(h))
+            out.append((g * a.astype(jnp.float32) + (1.0 - g) * b.astype(jnp.float32)).astype(a.dtype))
+        return tuple(out)
+
+
+class HierarchyBlender:
+    """Container of per-node fusion nets + recursive blend (``base_blender``).
+
+    Functional style: ``params`` is a dict node_name -> FusionNet params; the
+    blend itself is pure and jittable.
+    """
+
+    def __init__(
+        self,
+        dataset: str,
+        style_dims: Sequence[int],
+        *,
+        hidden: int = 128,
+        policy: Optional[Policy] = None,
+    ):
+        if dataset not in TREES:
+            raise ValueError(f"unknown dataset {dataset!r}; one of {sorted(TREES)}")
+        self.dataset = dataset
+        self.tree = TREES[dataset]
+        self.aliases = ALIASES[dataset]
+        self.style_dims = tuple(int(d) for d in style_dims)
+        self.policy = policy or default_policy()
+        self.net = FusionNet(self.style_dims, hidden=hidden, policy=self.policy)
+        self.internal_nodes = [n for n, node in self.tree.items() if node.children]
+
+    # -- params ------------------------------------------------------------
+    def init_params(self, key: jax.Array) -> dict:
+        dummy = tuple(jnp.zeros((1, d), jnp.float32) for d in self.style_dims)
+        params = {}
+        for i, name in enumerate(self.internal_nodes):
+            params[name] = self.net.init(jax.random.fold_in(key, i), dummy, dummy, dummy)
+        return params
+
+    def load_fusion_nets(self, manifest_path: str) -> dict:
+        """JSON manifest {node_name: npz_path} -> params dict (reference
+        ``load_fusion_net`` per node, `style_fusion_simple.py:72-80`).
+        Relative npz paths resolve against the manifest's directory."""
+        with open(manifest_path) as f:
+            manifest = json.load(f)
+        root = os.path.dirname(os.path.abspath(manifest_path))
+        params = {}
+        for name, rel in manifest.items():
+            path = rel if os.path.isabs(rel) else os.path.join(root, rel)
+            with np.load(path) as data:
+                flat = {k: jnp.asarray(v) for k, v in data.items()}
+            params[name] = _unflatten(flat)
+        return params
+
+    def save_fusion_nets(self, params: dict, out_dir: str, manifest_name: str) -> str:
+        os.makedirs(out_dir, exist_ok=True)
+        manifest = {}
+        for name, p in params.items():
+            path = os.path.join(out_dir, f"fusion_net_{name}.npz")
+            np.savez(path, **_flatten(p))
+            manifest[name] = os.path.basename(path)
+        mpath = os.path.join(out_dir, manifest_name)
+        with open(mpath, "w") as f:
+            json.dump(manifest, f, indent=2)
+        return mpath
+
+    # -- blending ----------------------------------------------------------
+    def resolve(self, name: str) -> str:
+        return self.aliases.get(name, name)
+
+    def forward(self, params: dict, s_dict: dict, root: str = "all"):
+        """Blend the s-dict through the tree; returns one style pytree.
+
+        ``s_dict`` maps part name -> style pytree (tuple of (N, C_l)).  Every
+        node name of the tree must be present (the drawer seeds all of them
+        with the base latent before swapping, `style_fusion_simple.py:85-87`).
+        """
+
+        def walk(name):
+            node = self.tree[name]
+            if not node.children:
+                return s_dict[name]
+            left = walk(node.children[0])
+            right = walk(node.children[1])
+            base = s_dict[name]
+            return self.net.apply(params[name], left, right, base)
+
+        return walk(root)
+
+
+def _flatten(tree, prefix=""):
+    flat = {}
+    for k, v in tree.items():
+        key = f"{prefix}{k}" if not prefix else f"{prefix}/{k}"
+        if isinstance(v, dict):
+            flat.update(_flatten(v, key))
+        else:
+            flat[key] = np.asarray(v)
+    return flat
+
+
+def _unflatten(flat):
+    tree = {}
+    for key, v in flat.items():
+        parts = key.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return tree

@@ -1,0 +1,106 @@
+"""Fused PGD update — grad-sign step + eps-ball projection + pixel clamp.
+
+Reference semantics (inline PGD copy, `interpolation.py:92-94`):
+
+    adv   = adv + alpha * sign(grad)
+    delta = clamp(adv - images, -eps, eps)
+    adv   = clamp(images + delta, clip_min, clip_max)
+
+One PGD step in the reference is three CUDA kernel launches + temporaries; on
+TPU we fuse all of it into a single Pallas VPU pass over VMEM tiles (one read
+of adv/grad/images, one write).  The XLA fallback expresses the same fusion as
+jnp ops — XLA fuses it too, so the fallback is used on CPU and whenever shapes
+don't tile (the Pallas path wants the trailing dims to flatten to multiples of
+the fp32 (8, 128) tile).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+try:  # Pallas is TPU-only at runtime; import lazily-safe.
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAS_PALLAS = False
+
+
+def _xla_pgd(adv, grad, images, alpha, eps, clip_min, clip_max):
+    step = adv + alpha * jnp.sign(grad)
+    delta = jnp.clip(step - images, -eps, eps)
+    return jnp.clip(images + delta, clip_min, clip_max)
+
+
+def _pgd_kernel(scalars_ref, adv_ref, grad_ref, img_ref, out_ref):
+    alpha = scalars_ref[0]
+    eps = scalars_ref[1]
+    cmin = scalars_ref[2]
+    cmax = scalars_ref[3]
+    adv = adv_ref[:]
+    img = img_ref[:]
+    step = adv + alpha * jnp.sign(grad_ref[:])
+    delta = jnp.clip(step - img, -eps, eps)
+    out_ref[:] = jnp.clip(img + delta, cmin, cmax)
+
+
+@functools.partial(jax.jit, static_argnames=("use_pallas",))
+def pgd_update(
+    adv: jax.Array,
+    grad: jax.Array,
+    images: jax.Array,
+    alpha,
+    eps,
+    clip_min=-1.0,
+    clip_max=1.0,
+    *,
+    use_pallas: bool | None = None,
+):
+    """One fused L-inf PGD step.  ``alpha``/``eps`` may be traced scalars.
+
+    ``clip_min``/``clip_max`` default to the [-1, 1] image range (the
+    reference clamps to [0, 1] because torchattacks runs pre-normalisation;
+    our pipeline is normalised end-to-end).
+    """
+    if use_pallas is None:
+        use_pallas = _HAS_PALLAS and jax.default_backend() in ("tpu", "axon")
+
+    size = adv.size
+    if not use_pallas or size % (8 * 128) != 0:
+        return _xla_pgd(adv, grad, images, alpha, eps, clip_min, clip_max)
+
+    shape = adv.shape
+    dtype = adv.dtype
+    rows = size // 128
+    flat = lambda a: a.astype(jnp.float32).reshape(rows, 128)
+    scalars = jnp.stack(
+        [
+            jnp.asarray(alpha, jnp.float32),
+            jnp.asarray(eps, jnp.float32),
+            jnp.asarray(clip_min, jnp.float32),
+            jnp.asarray(clip_max, jnp.float32),
+        ]
+    )
+    # Tile the row dimension so arbitrarily large images stream through VMEM.
+    tile = rows
+    for cand in (4096, 2048, 1024, 512, 256, 8):
+        if rows % cand == 0:
+            tile = cand
+            break
+    out = pl.pallas_call(
+        _pgd_kernel,
+        grid=(rows // tile,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, 128), jnp.float32),
+    )(scalars, flat(adv), flat(grad), flat(images))
+    return out.reshape(shape).astype(dtype)
