@@ -1,0 +1,154 @@
+"""Fusion layer tests — drawer (C1), spatial (C7), arithmetic (C8), hierarchy (C3)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpufusion.core.dtypes import Policy
+from tpufusion.fusion import FusionDrawer, arithmetic_fusion, n_inputs, spatial_fusion
+from tpufusion.models.fusion_hierarchy import (
+    HierarchyBlender,
+    TREES,
+    get_all_active_parts,
+)
+
+FP32 = Policy()
+
+
+@pytest.fixture(scope="module")
+def drawer():
+    return FusionDrawer.create(
+        "ffhq", jax.random.key(0), size=32, channel_multiplier=1,
+        policy=FP32, mean_latent_samples=64,
+    )
+
+
+class TestHierarchy:
+    def test_part_names_cover_swap_table(self):
+        ffhq = set(get_all_active_parts(TREES["ffhq"]))
+        # every FFHQ part name the reference swap table writes must exist
+        for part in ["all", "bg_hair_clothes", "hair", "face", "eyes",
+                     "skin_mouth", "mouth", "skin", "shirt", "background", "bg"]:
+            assert part in ffhq, part
+        car = set(get_all_active_parts(TREES["car"]))
+        for part in ["all", "car", "wheels", "car_body", "background_top",
+                     "background_bottom"]:
+            assert part in car, part
+        church = set(get_all_active_parts(TREES["church"]))
+        for part in ["all", "body", "background_top", "background_bottom"]:
+            assert part in church, part
+
+    def test_identity_blend(self):
+        """Blending identical children returns the input exactly."""
+        blender = HierarchyBlender("church", [8, 16], policy=FP32)
+        params = blender.init_params(jax.random.key(0))
+        s = (jnp.ones((1, 8)) * 2.0, jnp.ones((1, 16)) * 3.0)
+        s_dict = {p: s for p in get_all_active_parts(blender.tree)}
+        out = blender.forward(params, s_dict)
+        for a, b in zip(out, s):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    def test_blend_is_convex_per_channel(self):
+        """Output lies between the two children channelwise."""
+        blender = HierarchyBlender("church", [8], policy=FP32)
+        params = blender.init_params(jax.random.key(1))
+        lo = (jnp.zeros((1, 8)),)
+        hi = (jnp.ones((1, 8)),)
+        s_dict = {p: lo for p in get_all_active_parts(blender.tree)}
+        s_dict["body"] = hi  # one leaf differs
+        out = blender.forward(params, s_dict)[0]
+        assert bool(jnp.all(out >= -1e-6)) and bool(jnp.all(out <= 1 + 1e-6))
+
+    def test_save_load_roundtrip(self, tmp_path):
+        blender = HierarchyBlender("church", [8, 16], policy=FP32)
+        params = blender.init_params(jax.random.key(2))
+        manifest = blender.save_fusion_nets(params, str(tmp_path), "church_weights.json")
+        loaded = blender.load_fusion_nets(manifest)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b)),
+            params, loaded,
+        )
+
+
+class TestDrawer:
+    def test_seed_to_z_deterministic(self, drawer):
+        a = drawer.seed_to_z((6, 7))
+        b = drawer.seed_to_z((6, 7))
+        assert a.shape == (1, 512)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        c = drawer.seed_to_z((6, 3))
+        assert not np.allclose(np.asarray(a), np.asarray(c))
+
+    def test_z_to_image(self, drawer):
+        z = drawer.seed_to_z((393, 5))
+        img, feats = drawer.z_to_image(z)
+        assert img.shape == (1, 32, 32, 3)
+        assert feats[-1].shape[1] == 32
+
+    def test_generate_img_no_swaps_equals_base(self, drawer):
+        """generate_img(base) with no swaps == straight synthesis of base
+        (identity blend through the tree)."""
+        z = drawer.seed_to_z((23, 8))
+        img_gen, _ = drawer.generate_img(z, latents_type="z")
+        img_direct, _ = drawer.z_to_image(z)
+        np.testing.assert_allclose(
+            np.asarray(img_gen), np.asarray(img_direct), atol=1e-4
+        )
+
+    def test_generate_img_swaps_change_output(self, drawer):
+        zg = drawer.seed_to_z((393, 5))
+        zh = drawer.seed_to_z((334, 6))
+        base, _ = drawer.generate_img(zg, latents_type="z")
+        fused, _ = drawer.generate_img(zg, latents_type="z", hair=zh)
+        assert not np.allclose(np.asarray(base), np.asarray(fused), atol=1e-4)
+
+    def test_general_latent_to_s_types(self, drawer):
+        z = drawer.seed_to_z((1, 1))
+        s_from_z = drawer.general_latent_to_s(z, "z")
+        assert len(s_from_z) == drawer.generator.n_styles
+        w = jnp.zeros((1, 512))
+        s_from_w = drawer.general_latent_to_s(w, "w")
+        assert s_from_w[0].shape == s_from_z[0].shape
+        wp = jnp.zeros((1, drawer.generator.n_latent, 512))
+        s_from_wp = drawer.general_latent_to_s(wp, "w+")
+        assert s_from_wp[0].shape == s_from_z[0].shape
+        # "s" passes through
+        assert drawer.general_latent_to_s(s_from_z, "s") is s_from_z
+        with pytest.raises(ValueError):
+            drawer.general_latent_to_s(z, "bogus")
+
+
+class TestFusionOps:
+    def test_spatial_fusion_ffhq(self, drawer):
+        n = n_inputs("ffhq")
+        latents = jax.random.normal(
+            jax.random.key(3), (n, drawer.generator.n_latent, 512)
+        )
+        fused, singles, feats = spatial_fusion(drawer, latents)
+        assert fused.shape == (1, 32, 32, 3)
+        assert singles.shape == (n, 32, 32, 3)
+        assert feats.shape[0] == n
+
+    def test_spatial_fusion_wrong_n(self, drawer):
+        latents = jnp.zeros((2, drawer.generator.n_latent, 512))
+        with pytest.raises(ValueError):
+            spatial_fusion(drawer, latents)
+
+    def test_arithmetic_fusion(self, drawer):
+        n = 5
+        latents = jax.random.normal(
+            jax.random.key(4), (n, drawer.generator.n_latent, 512)
+        )
+        fused, singles, feats = arithmetic_fusion(drawer, latents)
+        assert fused.shape == (1, 32, 32, 3)
+        assert singles.shape == (n, 32, 32, 3)
+
+    def test_arithmetic_mean_property(self, drawer):
+        """Fusing N copies of the same latent == reconstructing it."""
+        w = jax.random.normal(jax.random.key(5), (1, drawer.generator.n_latent, 512))
+        latents = jnp.repeat(w, 3, axis=0)
+        fused, singles, _ = arithmetic_fusion(drawer, latents)
+        np.testing.assert_allclose(
+            np.asarray(fused[0]), np.asarray(singles[0]), atol=1e-4
+        )

@@ -1,0 +1,233 @@
+"""Fusion drawer — facade over generator + hierarchy (reference C1).
+
+Rebuilds ``StyleFusionSimple`` (`code/style_fusion_simple.py:25-177`):
+latent conversions (z / w / w+ / s), per-part s-dict assembly with the
+reference's swap table (`style_fusion_simple.py:95-104`), blended synthesis
+with inner-feature capture.
+
+TPU-first differences:
+- per-dataset truncation/mean-latent are computed once at build time with an
+  explicit PRNG key (reference: ``mean_latent(4096)`` at ctor,
+  `style_fusion_simple.py:60`);
+- ``generate_img`` compiles ONE fused XLA program per swap signature
+  (affines -> tree blend -> synthesis); the reference runs a python loop of
+  ~11 ``general_latent_to_s`` calls then a separate synthesis pass;
+- distinct input latents are converted to style vectors once and shared
+  across parts (mathematically identical to the reference's per-part
+  conversion of the same latent).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from tpufusion.core.dtypes import Policy, default_policy
+from tpufusion.models.fusion_hierarchy import HierarchyBlender, get_all_active_parts
+from tpufusion.models.stylegan2 import Generator, create_generator
+
+# Per-dataset generator config (`style_fusion_simple.py:28-39`).
+DATASET_CONFIG = {
+    "ffhq": dict(truncation=0.7, size=1024, layers=18),
+    "car": dict(truncation=0.5, size=512, layers=16),
+    "church": dict(truncation=0.5, size=256, layers=14),
+}
+
+# The reference's swap table: keyword -> s_dict keys it overwrites, in exact
+# call order (`style_fusion_simple.py:95-104`; later swaps win, e.g. ``eyes``
+# overwrites ``face`` after ``mouth`` set it).
+SWAP_TABLE = (
+    ("hair", ("bg_hair_clothes", "hair")),
+    ("face", ("face", "eyes", "skin_mouth", "mouth", "skin", "shirt")),
+    ("background", ("background", "background_top", "background_bottom", "bg")),
+    ("all", ("all",)),
+    ("mouth", ("skin_mouth", "face")),
+    ("eyes", ("eyes", "face")),
+    ("wheels", ("wheels",)),
+    ("car", ("car", "body", "wheels", "car_body")),
+    ("bg_top", ("background_top",)),
+    ("bg_bottom", ("background_bottom",)),
+)
+
+
+class FusionDrawer:
+    """Holds generator + blender modules and their params; exposes pure,
+    jit-cached conversion/synthesis functions."""
+
+    def __init__(
+        self,
+        dataset: str,
+        generator: Generator,
+        gen_vars,
+        blender: HierarchyBlender,
+        blend_params,
+        mean_latent: jax.Array,
+        truncation: Optional[float] = None,
+    ):
+        self.dataset = dataset
+        self.generator = generator
+        self.gen_vars = gen_vars
+        self.blender = blender
+        self.blend_params = blend_params
+        self.mean_latent = mean_latent
+        self.truncation = (
+            truncation if truncation is not None else DATASET_CONFIG[dataset]["truncation"]
+        )
+        self.parts = get_all_active_parts(blender.tree)
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def create(
+        cls,
+        dataset: str,
+        key: jax.Array,
+        *,
+        size: Optional[int] = None,
+        channel_multiplier: int = 2,
+        policy: Optional[Policy] = None,
+        remat: bool = False,
+        mean_latent_samples: int = 4096,
+        generator: Optional[Generator] = None,
+        gen_vars=None,
+    ) -> "FusionDrawer":
+        """Build drawer with fresh (or supplied) generator + fusion nets.
+
+        Passing ``generator``/``gen_vars`` mirrors the reference's
+        ``GAN=net.decoder`` path (`attack_main2.py:930-932`) where the drawer
+        wraps the e4e decoder instead of loading its own.
+        """
+        policy = policy or default_policy()
+        cfg = DATASET_CONFIG[dataset]
+        size = size or cfg["size"]
+        kg, km, kb = jax.random.split(key, 3)
+        if generator is None:
+            generator, gen_vars = create_generator(
+                size, kg, channel_multiplier=channel_multiplier, policy=policy, remat=remat
+            )
+        mean_latent = jax.jit(
+            lambda v, k: generator.apply(v, mean_latent_samples, k, method=Generator.mean_latent)
+        )(gen_vars, km)
+        blender = HierarchyBlender(dataset, generator.style_input_dims(), policy=policy)
+        blend_params = blender.init_params(kb)
+        return cls(dataset, generator, gen_vars, blender, blend_params, mean_latent)
+
+    # ---- latent conversions (`style_fusion_simple.py:110-144`) --------
+    def seed_to_z(self, seed: tuple) -> jax.Array:
+        """(seed, index) -> one (1, 512) z, reproducing the reference's
+        "draw index-th of index+1 normals" scheme (`:110-113`) with JAX PRNG."""
+        s, idx = int(seed[0]), int(seed[1])
+        z = jax.random.normal(jax.random.key(s), (idx + 1, 1, 512))
+        return z[idx]
+
+    @functools.cached_property
+    def _z_to_s(self):
+        gen, trunc = self.generator, self.truncation
+        return jax.jit(
+            lambda v, z, m: gen.apply(
+                v, [z], truncation=trunc, truncation_latent=m, return_style_vector=True
+            )
+        )
+
+    def z_to_s(self, z):
+        return self._z_to_s(self.gen_vars, z, self.mean_latent)
+
+    @functools.cached_property
+    def _w_plus_to_s(self):
+        gen = self.generator
+        return jax.jit(
+            lambda v, w: gen.apply(v, [w], input_is_latent=True, return_style_vector=True)
+        )
+
+    def w_plus_to_s(self, w_plus):
+        return self._w_plus_to_s(self.gen_vars, w_plus)
+
+    def general_latent_to_s(self, latent, latent_type: str):
+        """`style_fusion_simple.py:131-144`: z/w/w+/s -> s."""
+        if latent_type not in ("z", "w", "w+", "s"):
+            raise ValueError(f"latent_type must be z/w/w+/s, got {latent_type!r}")
+        if latent_type == "z":
+            return self.z_to_s(latent)
+        if latent_type in ("w", "w+"):
+            w = latent
+            if w.ndim == 2:  # (1, 512) single w -> broadcast to all layers
+                w = jnp.repeat(w[:, None, :], self.generator.n_latent, axis=1)
+            return self.w_plus_to_s(w)
+        return latent  # already s
+
+    # ---- synthesis ----------------------------------------------------
+    @functools.cached_property
+    def _s_to_image(self):
+        gen = self.generator
+        return jax.jit(lambda v, s: gen.apply(v, style_vector=s))
+
+    def s_to_image(self, s):
+        """s -> (image, inner features) (`style_fusion_simple.py:146-153`)."""
+        out = self._s_to_image(self.gen_vars, s)
+        return out.image, out.features
+
+    def s_dict_to_image(self, s_dict):
+        """Blend the per-part s-dict through the hierarchy, then synthesise
+        (`style_fusion_simple.py:163-165`)."""
+        s = self.blender.forward(self.blend_params, s_dict)
+        return self.s_to_image(s)
+
+    def w_plus_to_image(self, w_plus):
+        return self.s_to_image(self.w_plus_to_s(w_plus))
+
+    def z_to_image(self, z):
+        return self.s_to_image(self.z_to_s(z))
+
+    # ---- generate_img (`style_fusion_simple.py:82-108`) ---------------
+    def generate_img(self, base_latent, latents_type: str = "z", **part_latents):
+        """Fused synthesis: seed every part with ``base_latent``, then apply
+        the swap table for each provided keyword (hair/face/background/all/
+        mouth/eyes/wheels/car/bg_top/bg_bottom).
+
+        One jitted program per (latents_type, provided-keys) signature.
+        """
+        provided = tuple(k for k, _ in SWAP_TABLE if part_latents.get(k) is not None)
+        unknown = set(part_latents) - {k for k, _ in SWAP_TABLE}
+        if unknown:
+            raise TypeError(f"unknown part keywords: {sorted(unknown)}")
+        fn = self._generate_fn(latents_type, provided)
+        latents = [base_latent] + [part_latents[k] for k in provided]
+        out = fn(self.gen_vars, self.blend_params, self.mean_latent, *latents)
+        return out.image, out.features
+
+    @functools.lru_cache(maxsize=None)
+    def _generate_fn(self, latents_type: str, provided: tuple):
+        gen, blender, trunc = self.generator, self.blender, self.truncation
+        parts = tuple(self.parts)
+        n_latent = gen.n_latent
+
+        def to_s(v, latent, mean):
+            if latents_type == "z":
+                return gen.apply(
+                    v, [latent], truncation=trunc, truncation_latent=mean,
+                    return_style_vector=True,
+                )
+            if latents_type in ("w", "w+"):
+                w = latent
+                if w.ndim == 2:
+                    w = jnp.repeat(w[:, None, :], n_latent, axis=1)
+                return gen.apply(v, [w], input_is_latent=True, return_style_vector=True)
+            return latent
+
+        def run(v, bp, mean, base, *swaps):
+            s_base = to_s(v, base, mean)
+            s_dict = {p: s_base for p in parts}
+            # swap-table order, later swaps overwrite earlier ones
+            swap_values = dict(zip(provided, swaps))
+            for kw, keys in SWAP_TABLE:
+                if kw in swap_values:
+                    s_kw = to_s(v, swap_values[kw], mean)
+                    for k in keys:
+                        if k in s_dict:
+                            s_dict[k] = s_kw
+            s = blender.forward(bp, s_dict)
+            return gen.apply(v, style_vector=s)
+
+        return jax.jit(run)
