@@ -19,6 +19,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 
+# The axon TPU plugin ignores the JAX_PLATFORMS env var — the config update
+# after import is what actually forces the CPU backend here.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 # Persistent compilation cache: CPU test compiles are the dominant cost.
 _cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")

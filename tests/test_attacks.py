@@ -1,0 +1,254 @@
+"""Attack layer tests — PGD/FGSM (C13), CW, white-box (C9), patch (C10/C11),
+baselines (C12), hybrid splicer."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpufusion.attacks import (
+    CWConfig,
+    LossWeights,
+    PatchConfig,
+    PGDConfig,
+    PRESET_ATTACK_MAIN,
+    PRESET_INTERPOLATION,
+    WhiteboxConfig,
+    apply_patch,
+    circle_transform,
+    dp_noise,
+    fgsm,
+    gaussian_blur_noise,
+    init_patch_circle,
+    init_patch_square,
+    make_cw,
+    make_patch_attack_step,
+    make_pgd,
+    make_whitebox_attack,
+    out_domain_more,
+    out_domain_single,
+    paste_patch,
+    splice_hybrid,
+    square_transform,
+    submatrix,
+    train_patch,
+)
+from tpufusion.attacks.whitebox import run_whitebox
+from tpufusion.pipeline import create_test_pipeline
+
+
+@pytest.fixture(scope="module")
+def pipeline():
+    return create_test_pipeline("ffhq", jax.random.key(0), size=32)
+
+
+class TestPGD:
+    def test_ascends_loss_within_ball(self):
+        target = jnp.full((1, 8, 8, 3), 0.5)
+
+        def loss(adv):
+            return jnp.mean((adv - target) ** 2)
+
+        cfg = PGDConfig(eps=0.1, alpha=0.02, steps=10, random_start=False)
+        attack = make_pgd(loss, cfg)
+        img = jnp.zeros((1, 8, 8, 3))
+        adv, trace = attack(img, jax.random.key(0))
+        assert float(jnp.max(jnp.abs(adv - img))) <= 0.1 + 1e-6
+        assert trace.shape == (10,)
+        assert float(loss(adv)) > float(loss(img))  # drifted away from target
+
+    def test_targeted_descends(self):
+        target = jnp.full((1, 8, 8, 3), 0.5)
+
+        def loss(adv):
+            return jnp.mean((adv - target) ** 2)
+
+        cfg = PGDConfig(eps=0.5, alpha=0.05, steps=20, random_start=False, targeted=True)
+        attack = make_pgd(loss, cfg)
+        img = jnp.zeros((1, 8, 8, 3))
+        adv, _ = attack(img, jax.random.key(0))
+        assert float(loss(adv)) < float(loss(img))
+
+    def test_fgsm_is_single_signed_step(self):
+        def loss(adv):
+            return jnp.sum(adv)
+
+        attack = fgsm(loss, eps=0.03)
+        img = jnp.zeros((1, 4, 4, 3))
+        adv, _ = attack(img, jax.random.key(0))
+        np.testing.assert_allclose(np.asarray(adv), 0.03, atol=1e-6)
+
+    def test_random_start_inside_ball(self):
+        def loss(adv):
+            return jnp.sum(adv**2)
+
+        cfg = PGDConfig(eps=0.1, alpha=0.0, steps=1, random_start=True)
+        attack = make_pgd(loss, cfg)
+        img = jnp.zeros((2, 4, 4, 3))
+        adv, _ = attack(img, jax.random.key(1))
+        assert float(jnp.max(jnp.abs(adv - img))) <= 0.1 + 1e-6
+        assert float(jnp.max(jnp.abs(adv - img))) > 0.0
+
+
+class TestCW:
+    def test_flips_linear_classifier(self):
+        # 2-class linear model on flattened 4x4 images
+        wkey = jax.random.key(0)
+        W = jax.random.normal(wkey, (48, 2))
+
+        def logits_fn(x):
+            return x.reshape(x.shape[0], -1) @ W
+
+        imgs = jax.random.uniform(jax.random.key(1), (4, 4, 4, 3), minval=-0.5, maxval=0.5)
+        labels = jnp.argmax(logits_fn(imgs), axis=-1)
+        attack = make_cw(logits_fn, CWConfig(c=1.0, steps=100, lr=0.05))
+        adv, best_l2 = attack(imgs, labels)
+        flipped = jnp.argmax(logits_fn(adv), axis=-1) != labels
+        assert int(jnp.sum(flipped)) >= 3  # most flip
+        assert bool(jnp.all(best_l2[flipped] < jnp.inf))
+
+    def test_untouched_when_attack_fails(self):
+        # zero budget (c=0 -> only L2 pull, never misclassifies) keeps originals
+        W = jnp.eye(48, 2)
+
+        def logits_fn(x):
+            return x.reshape(x.shape[0], -1) @ W * 0.0  # constant logits
+
+        imgs = jnp.zeros((2, 4, 4, 3))
+        labels = jnp.zeros((2,), jnp.int32)
+        attack = make_cw(logits_fn, CWConfig(c=1.0, steps=5, lr=0.01))
+        adv, best_l2 = attack(imgs, labels)
+        # equal logits => f = real - other = 0 <= 0, counts as success at l2~0
+        assert adv.shape == imgs.shape
+
+
+class TestWhitebox:
+    def test_presets_match_reference_weights(self):
+        assert PRESET_ATTACK_MAIN.latent_target == 10.0
+        assert PRESET_ATTACK_MAIN.img_org == 20.0
+        assert PRESET_ATTACK_MAIN.latent_org == -1.0
+        assert PRESET_INTERPOLATION.img_org == 10.0
+        assert PRESET_INTERPOLATION.lpips_rec_target == 0.1
+
+    def test_optimization_reduces_loss(self, pipeline):
+        cfg = WhiteboxConfig(lr=0.01, n_iters=8)
+        attack = make_whitebox_attack(pipeline, cfg)
+        img = jax.random.uniform(jax.random.key(2), (1, 32, 32, 3), minval=-1, maxval=1)
+        target = jax.random.uniform(jax.random.key(3), (1, 32, 32, 3), minval=-1, maxval=1)
+        adv, trace = attack(img, target)
+        assert adv.shape == img.shape
+        total = np.asarray(trace["total"])
+        assert total.shape == (8,)
+        assert total[-1] < total[0]  # optimizing
+        assert not np.allclose(np.asarray(adv), np.asarray(img))
+
+    def test_run_whitebox_which_adv(self, pipeline):
+        cfg = WhiteboxConfig(lr=0.01, n_iters=2)
+        inputs = jax.random.uniform(jax.random.key(4), (3, 32, 32, 3), minval=-1, maxval=1)
+        target = jax.random.uniform(jax.random.key(5), (1, 32, 32, 3), minval=-1, maxval=1)
+        adv, _ = run_whitebox(pipeline, inputs, target, cfg, which_adv=[1])
+        assert np.allclose(np.asarray(adv[0]), np.asarray(inputs[0]))
+        assert np.allclose(np.asarray(adv[2]), np.asarray(inputs[2]))
+        assert not np.allclose(np.asarray(adv[1]), np.asarray(inputs[1]))
+
+
+class TestPatch:
+    def test_init_sizes(self):
+        p = init_patch_square(64, 0.1, jax.random.key(0))
+        assert p.shape[0] == p.shape[1]
+        assert abs(p.shape[0] ** 2 - 64 * 64 * 0.1) / (64 * 64 * 0.1) < 0.2
+        c = init_patch_circle(64, 0.05, jax.random.key(1))
+        assert c.shape[0] == c.shape[1]
+
+    def test_square_transform_mask(self):
+        p = init_patch_square(32, 0.1, jax.random.key(0))
+        canvas, mask, pos = square_transform(p, 32, jax.random.key(2))
+        assert canvas.shape == (32, 32, 3)
+        m = np.asarray(mask)
+        assert set(np.unique(m)).issubset({0.0, 1.0})
+        assert m.sum() == p.shape[0] * p.shape[1] * 3
+
+    def test_circle_transform_mask(self):
+        p = init_patch_circle(32, 0.05, jax.random.key(0))
+        canvas, mask, pos = circle_transform(p, 32, jax.random.key(3))
+        m = np.asarray(mask)
+        assert m.max() == 1.0 and m.min() == 0.0
+        # circular: fewer on-pixels than bounding square
+        assert m.sum() < p.shape[0] * p.shape[1] * 3
+
+    def test_submatrix(self):
+        m = np.zeros((8, 8))
+        m[2:5, 3:7] = 1.0
+        crop = submatrix(m)
+        assert crop.shape == (3, 4)
+
+    def test_patch_step_changes_patch(self, pipeline):
+        cfg = PatchConfig(patch_frac=0.1, max_count=3)
+        step = make_patch_attack_step(pipeline, cfg)
+        img = jax.random.uniform(jax.random.key(6), (1, 32, 32, 3), minval=-1, maxval=1)
+        patch = init_patch_square(32, 0.1, jax.random.key(7))
+        new_patch, trace = step(img, patch, jax.random.key(8))
+        assert new_patch.shape == patch.shape
+        assert trace.shape == (3,)
+        assert not np.allclose(np.asarray(new_patch), np.asarray(patch))
+
+    def test_train_patch_end_to_end(self, pipeline):
+        cfg = PatchConfig(patch_frac=0.1, max_count=2, epochs=1)
+        imgs = [
+            jax.random.uniform(jax.random.key(i), (1, 32, 32, 3), minval=-1, maxval=1)
+            for i in range(2)
+        ]
+        canvas, mask = train_patch(pipeline, imgs, jax.random.key(9), cfg)
+        assert canvas.shape == (32, 32, 3)
+        assert mask.shape == (32, 32, 3)
+        adv = apply_patch(imgs[0], canvas, mask)
+        assert adv.shape == imgs[0].shape
+        # patched pixels differ, unpatched identical
+        m = np.asarray(mask) > 0
+        np.testing.assert_allclose(
+            np.asarray(adv[0])[~m], np.asarray(imgs[0][0])[~m], atol=1e-6
+        )
+
+
+class TestBaselines:
+    def test_gaussian_blur_smooths(self):
+        img = jnp.zeros((1, 16, 16, 3)).at[:, 8, 8].set(1.0)
+        out = gaussian_blur_noise(img, 5)
+        assert float(out[0, 8, 8, 0]) < 1.0
+        assert float(out[0, 7, 8, 0]) > 0.0
+
+    def test_dp_noise_scale(self):
+        img = jnp.zeros((1, 16, 16, 3))
+        out = dp_noise(img, jax.random.key(0), scale=0.4)
+        assert not np.allclose(np.asarray(out), 0.0)
+        assert abs(float(jnp.mean(jnp.abs(out))) - 0.4) < 0.1  # E|Laplace(b)| = b
+
+    def test_paste_patch_centre(self):
+        img = jnp.full((2, 30, 30, 3), -1.0)
+        target = jnp.ones((1, 12, 12, 3))
+        out = paste_patch(img, target, paste_times=3)
+        # paste_size 10, loc 10
+        assert float(out[0, 15, 15, 0]) == pytest.approx(1.0)
+        assert float(out[0, 5, 5, 0]) == pytest.approx(-1.0)
+
+    def test_out_domain(self):
+        img = jnp.zeros((3, 8, 8, 3))
+        target = jnp.ones((1, 8, 8, 3))
+        assert bool(jnp.all(out_domain_more(img, target) == 1.0))
+        single = out_domain_single(img, target, 1)
+        assert bool(jnp.all(single[1] == 1.0)) and bool(jnp.all(single[0] == 0.0))
+
+
+class TestHybrid:
+    def test_split_counts(self):
+        a = jnp.zeros((5, 2)) + 1
+        b = jnp.zeros((5, 2)) + 2
+        out, counts = splice_hybrid([a, b], 5)
+        assert counts == [3, 2]
+        assert out.shape == (5, 2)
+        np.testing.assert_array_equal(np.asarray(out[:3]), 1)
+        np.testing.assert_array_equal(np.asarray(out[3:]), 2)
+
+    def test_insufficient_rows(self):
+        with pytest.raises(ValueError):
+            splice_hybrid([jnp.zeros((1, 2)), jnp.zeros((5, 2))], 5)

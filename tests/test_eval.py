@@ -1,0 +1,132 @@
+"""Eval layer tests — metrics (C15), partial fusion (C14), reports (C16)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpufusion.eval import (
+    ResultsTable,
+    benign_fusion,
+    fused_image_metrics,
+    input_noise_mse,
+    latent_distance,
+    mse_per_image,
+    partial_adv_fusion,
+    partial_latent_variants,
+    ssim,
+)
+from tpufusion.fusion import FusionDrawer, n_inputs
+from tpufusion.core.dtypes import Policy
+
+
+@pytest.fixture(scope="module")
+def drawer():
+    return FusionDrawer.create(
+        "church", jax.random.key(0), size=32, channel_multiplier=1,
+        policy=Policy(), mean_latent_samples=32,
+    )
+
+
+class TestMetrics:
+    def test_mse_per_image(self):
+        a = jnp.zeros((2, 4, 4, 3))
+        b = jnp.ones((2, 4, 4, 3)) * jnp.asarray([1.0, 2.0])[:, None, None, None]
+        out = np.asarray(mse_per_image(a, b))
+        np.testing.assert_allclose(out, [1.0, 4.0], atol=1e-6)
+        assert input_noise_mse is mse_per_image
+
+    def test_ssim_identical_is_one(self):
+        img = jax.random.uniform(jax.random.key(0), (2, 16, 16, 3), minval=-1, maxval=1)
+        s = np.asarray(ssim(img, img))
+        np.testing.assert_allclose(s, 1.0, atol=1e-5)
+
+    def test_ssim_decreases_with_noise(self):
+        img = jax.random.uniform(jax.random.key(1), (1, 32, 32, 3), minval=-1, maxval=1)
+        noisy = img + 0.5 * jax.random.normal(jax.random.key(2), img.shape)
+        s_noisy = float(ssim(img, noisy)[0])
+        assert s_noisy < 0.9
+
+    def test_ssim_matches_skimage_formula(self):
+        """Cross-check against a direct numpy implementation of skimage's
+        uniform-window SSIM (win=7, sample covariance)."""
+        rng = np.random.RandomState(0)
+        a = rng.rand(1, 20, 20, 1).astype(np.float32)
+        b = (a + 0.1 * rng.randn(1, 20, 20, 1)).astype(np.float32)
+        ours = float(ssim(jnp.asarray(a), jnp.asarray(b), data_range=1.0)[0])
+
+        def uf(x):  # valid-mode uniform filter
+            from scipy.ndimage import uniform_filter
+
+            f = uniform_filter(x, size=7, mode="constant")
+            return f[3:-3, 3:-3]
+
+        x, y = a[0, :, :, 0].astype(np.float64), b[0, :, :, 0].astype(np.float64)
+        ux, uy = uf(x), uf(y)
+        cov = 49 / 48
+        vx = cov * (uf(x * x) - ux**2)
+        vy = cov * (uf(y * y) - uy**2)
+        vxy = cov * (uf(x * y) - ux * uy)
+        c1, c2 = 0.01**2, 0.03**2
+        ref = np.mean(((2 * ux * uy + c1) * (2 * vxy + c2))
+                      / ((ux**2 + uy**2 + c1) * (vx + vy + c2)))
+        np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+    def test_latent_distance(self):
+        avg = jnp.zeros((4, 8))
+        lat = jnp.ones((2, 4, 8)) * jnp.asarray([1.0, 2.0])[:, None, None]
+        out = np.asarray(latent_distance(avg, lat))
+        np.testing.assert_allclose(out, [1.0, 4.0], atol=1e-6)
+
+
+class TestPartialFusion:
+    def test_variants_structure(self):
+        lat = jnp.zeros((3, 4, 8))
+        adv = jnp.ones((3, 4, 8))
+        v = partial_latent_variants(lat, adv)
+        assert v.shape == (4, 3, 4, 8)
+        # variant 0: only row 0 adversarial
+        assert float(v[0, 0, 0, 0]) == 1.0 and float(v[0, 1, 0, 0]) == 0.0
+        # last variant: all adversarial
+        assert bool(jnp.all(v[-1] == 1.0))
+
+    def test_partial_fusion_both_modes(self, drawer):
+        n = n_inputs("church")
+        lat = jax.random.normal(jax.random.key(3), (n, drawer.generator.n_latent, 512))
+        adv = lat + 0.5
+        for mode in ("arithmetic", "spatial"):
+            fused = partial_adv_fusion(drawer, lat, adv, mode=mode)
+            assert fused.shape[0] == n + 1
+            assert fused.shape[-3:] == (32, 32, 3)
+        with pytest.raises(ValueError):
+            partial_adv_fusion(drawer, lat, adv, mode="bogus")
+
+    def test_benign_fusion(self, drawer):
+        n = n_inputs("church")
+        lat = jax.random.normal(jax.random.key(4), (n, drawer.generator.n_latent, 512))
+        fused, singles, feats = benign_fusion(drawer, lat, mode="spatial")
+        assert fused.shape == (1, 32, 32, 3)
+        assert singles.shape[0] == n
+
+
+class TestResultsTable:
+    def test_layout_and_save(self, tmp_path):
+        t = ResultsTable(n_inputs=3)
+        assert len(t.columns) == 3 + 6 * 4
+        t.add_batch(
+            noise=[0.1, 0.2, 0.3],
+            cri_spati=[1, 2, 3, 4], cri_arith=[1, 2, 3, 4],
+            vg_spati=[1, 2, 3, 4], vg_arith=[1, 2, 3, 4],
+            ssmi_spati=[0.9, 0.8, 0.7, 0.6], ssmi_arith=[0.9, 0.8, 0.7, 0.6],
+        )
+        out = t.save(str(tmp_path / "new_mask.xlsx"))
+        assert out.endswith((".xlsx", ".csv"))
+        import os
+
+        assert os.path.exists(out)
+
+    def test_wrong_length_raises(self):
+        t = ResultsTable(n_inputs=2)
+        with pytest.raises(ValueError):
+            t.add_batch([0.1], [1, 2, 3], [1, 2, 3], [1, 2, 3], [1, 2, 3],
+                        [1, 2, 3], [1, 2, 3])

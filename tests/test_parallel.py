@@ -1,0 +1,111 @@
+"""Parallel layer tests — mesh/sharding (P1/P2/P3) + graft entry dry run."""
+
+import importlib.util
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpufusion.attacks.whitebox import PRESET_ATTACK_MAIN, WhiteboxConfig
+from tpufusion.parallel import (
+    batch_sharding,
+    create_mesh,
+    make_sharded_whitebox_step,
+    replicate,
+    shard_generator_params,
+)
+from tpufusion.pipeline import create_test_pipeline
+
+
+@pytest.fixture(scope="module")
+def pipeline():
+    return create_test_pipeline("ffhq", jax.random.key(0), size=32)
+
+
+class TestMesh:
+    def test_create_mesh_shapes(self):
+        mesh = create_mesh(jax.devices())
+        assert mesh.shape["data"] == len(jax.devices())
+        assert mesh.shape["model"] == 1
+        mesh2 = create_mesh(jax.devices(), model=2)
+        assert mesh2.shape["data"] * 2 == len(jax.devices())
+
+    def test_bad_factorization(self):
+        with pytest.raises(ValueError):
+            create_mesh(jax.devices()[:3], data=2, model=2)
+
+    def test_batch_sharding_places_batch_axis(self):
+        mesh = create_mesh(jax.devices())
+        x = jnp.zeros((8, 4, 4, 3))
+        y = jax.device_put(x, batch_sharding(mesh, x.ndim))
+        assert len(y.sharding.device_set) == len(jax.devices())
+
+    def test_replicate(self):
+        mesh = create_mesh(jax.devices())
+        y = jax.device_put(jnp.zeros((4,)), replicate(mesh))
+        assert y.sharding.is_fully_replicated
+
+
+class TestShardedWhitebox:
+    def test_dp_step_runs_and_matches_single_device(self, pipeline):
+        """The sharded step must produce the same loss as unsharded."""
+        mesh = create_mesh(jax.devices())
+        cfg = WhiteboxConfig(lr=1e-3, n_iters=1, weights=PRESET_ATTACK_MAIN)
+        step, init, place = make_sharded_whitebox_step(pipeline, cfg, mesh)
+        b = len(jax.devices())
+        imgs = jax.random.uniform(jax.random.key(1), (b, 32, 32, 3), minval=-1, maxval=1)
+        targets = jnp.broadcast_to(
+            jax.random.uniform(jax.random.key(2), (1, 32, 32, 3), minval=-1, maxval=1),
+            imgs.shape,
+        )
+        s_imgs, s_targets = place(imgs, targets)
+        with mesh:
+            state = init(s_imgs, s_targets)
+            state, loss_sharded = step(state)
+
+        mesh1 = create_mesh(jax.devices()[:1])
+        step1, init1, place1 = make_sharded_whitebox_step(pipeline, cfg, mesh1)
+        with mesh1:
+            st = init1(imgs, targets)
+            st, loss_single = step1(st)
+        np.testing.assert_allclose(
+            float(loss_sharded), float(loss_single), rtol=1e-4
+        )
+
+    def test_tp_sharded_generator_params(self, pipeline):
+        mesh = create_mesh(jax.devices(), model=2)
+        sharded = shard_generator_params(pipeline.drawer.gen_vars, mesh)
+        k = sharded["params"]["mapping"]["fc0"]["kernel"]
+        assert len(k.sharding.device_set) >= 2  # split over model axis
+        # generator still runs with TP-sharded weights
+        gen = pipeline.generator
+        with mesh:
+            out = jax.jit(lambda v, z: gen.apply(v, [z]).image)(
+                sharded, jnp.zeros((2, 512))
+            )
+        assert out.shape == (2, 32, 32, 3)
+
+
+class TestGraftEntry:
+    @pytest.fixture(scope="class")
+    def graft(self):
+        spec = importlib.util.spec_from_file_location(
+            "__graft_entry__",
+            os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                         "__graft_entry__.py"),
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    def test_entry_compiles_tiny(self, graft, monkeypatch):
+        monkeypatch.setenv("GRAFT_SIZE", "32")
+        fn, args = graft.entry()
+        out = jax.jit(fn)(*args)
+        assert out.shape[-3:] == (32, 32, 3)
+
+    def test_dryrun_multichip(self, graft):
+        graft.dryrun_multichip(len(jax.devices()))

@@ -1,0 +1,138 @@
+"""End-to-end runner tests — the full benign/attack/partial/metrics loop
+(SURVEY §3.1/§3.2) on a tiny pipeline, plus the CLI drivers."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpufusion.configs import AttackRunConfig
+from tpufusion.pipeline import create_test_pipeline
+from tpufusion.runner import dispatch_attack, generate_inputs, run_experiment
+
+
+@pytest.fixture(scope="module")
+def pipeline():
+    return create_test_pipeline("church", jax.random.key(0), size=32)
+
+
+@pytest.fixture(scope="module")
+def batch(pipeline):
+    inputs = generate_inputs(pipeline, 3, jax.random.key(1))
+    target = jax.random.uniform(jax.random.key(2), (1, 32, 32, 3), minval=-1, maxval=1)
+    return inputs, target
+
+
+class TestDispatch:
+    def test_dp_noise(self, pipeline, batch):
+        inputs, target = batch
+        cfg = AttackRunConfig(dataset_name="church", scale=0.3)
+        (adv,) = dispatch_attack(pipeline, "dp_noise", inputs, target, cfg, jax.random.key(3))
+        assert adv.shape == inputs.shape
+        assert not np.allclose(np.asarray(adv), np.asarray(inputs))
+
+    def test_out_domain_single_yields_n_batches(self, pipeline, batch):
+        inputs, target = batch
+        cfg = AttackRunConfig(dataset_name="church")
+        advs = dispatch_attack(pipeline, "out_domain_single", inputs, target, cfg, jax.random.key(4))
+        assert len(advs) == inputs.shape[0]
+
+    def test_patch_paste(self, pipeline, batch):
+        inputs, target = batch
+        cfg = AttackRunConfig(dataset_name="church", paste_times=3)
+        (adv,) = dispatch_attack(pipeline, "patch", inputs, target, cfg, jax.random.key(5))
+        # centre region replaced on every image
+        c = 32 // 2
+        assert not np.allclose(np.asarray(adv[:, c, c]), np.asarray(inputs[:, c, c]))
+
+    def test_pgd_bounded(self, pipeline, batch):
+        inputs, target = batch
+        cfg = AttackRunConfig(dataset_name="church", pgd_steps=3, pgd_eps=0.02, pgd_alpha=0.01)
+        (adv,) = dispatch_attack(pipeline, "pgd", inputs, target, cfg, jax.random.key(6))
+        assert float(jnp.max(jnp.abs(adv - inputs))) <= 0.04 + 1e-5
+
+    def test_unknown_attack_raises(self, pipeline, batch):
+        inputs, target = batch
+        cfg = AttackRunConfig(dataset_name="church")
+        with pytest.raises(ValueError):
+            dispatch_attack(pipeline, "nope", inputs, target, cfg, jax.random.key(0))
+
+
+class TestRunExperiment:
+    def test_full_loop_with_artifacts(self, pipeline, batch, tmp_path):
+        inputs, target = batch
+        cfg = AttackRunConfig(
+            dataset_name="church", attacks=("dp_noise",), scale=0.2, save_img=True,
+        )
+        results = run_experiment(
+            pipeline, cfg, inputs, target, jax.random.key(7), save_root=str(tmp_path)
+        )
+        assert "benign" in results and "dp_noise" in results
+        r = results["dp_noise"][0]
+        n = inputs.shape[0]
+        assert r["partial_spatial"].shape[0] == n + 1
+        assert r["partial_arith"].shape[0] == n + 1
+        assert r["ssim_spatial"].shape == (n + 1,)
+        # artifacts on disk
+        run_dirs = [d for d in os.listdir(tmp_path) if "dp_noise" in d]
+        assert len(run_dirs) == 1
+        run_dir = tmp_path / run_dirs[0]
+        assert (run_dir / "parameters.txt").exists()
+        assert (run_dir / "benign" / "spatial_org_fusion_0.jpg").exists()
+        assert (run_dir / "adversarial" / "all_adv_inputs.npz").exists()
+        table = [f for f in os.listdir(run_dir) if f.startswith("new_mask")]
+        assert table  # metrics table written (csv fallback)
+
+    def test_hybrid_splice(self, pipeline, batch):
+        inputs, target = batch
+        cfg = AttackRunConfig(
+            dataset_name="church", attacks=("dp_noise", "out_domain_more"),
+            hybrid_adv=True,
+        )
+        results = run_experiment(pipeline, cfg, inputs, target, jax.random.key(8))
+        assert "hybrid" in results
+        assert results["hybrid"]["inputs"].shape == inputs.shape
+        assert results["hybrid"]["counts"] == [2, 1]
+
+
+class TestCLI:
+    def test_fuse_cli(self, tmp_path, monkeypatch):
+        from tpufusion.cli.fuse import main
+
+        out = str(tmp_path / "demo.jpg")
+        rc = main(["--dataset", "church", "--tiny", "--size", "32", "--out", out])
+        assert rc == 0
+        assert os.path.exists(out)
+
+    def test_attack_run_cli(self, tmp_path):
+        from tpufusion.cli.attack_run import main
+
+        rc = main([
+            "--dataset", "church", "--tiny", "--size", "32",
+            "--attacks", "dp_noise", "--save_dir", str(tmp_path),
+        ])
+        assert rc == 0
+        ds_dir = tmp_path / "church"
+        assert ds_dir.exists() and any(ds_dir.iterdir())
+
+    def test_invert_cli(self, tmp_path):
+        import numpy as _np
+        from PIL import Image
+
+        from tpufusion.cli.invert import main
+
+        img_dir = tmp_path / "imgs"
+        img_dir.mkdir()
+        for i in range(2):
+            Image.fromarray(
+                (_np.random.RandomState(i).rand(40, 40, 3) * 255).astype("uint8")
+            ).save(img_dir / f"{i}.png")
+        rc = main([
+            "--images_dir", str(img_dir), "--dataset", "church", "--tiny",
+            "--size", "32", "--save_dir", str(tmp_path / "inv"), "--batch", "2",
+        ])
+        assert rc == 0
+        assert (tmp_path / "inv" / "latents.npz").exists()
+        assert (tmp_path / "inv" / "inversions" / "00001.jpg").exists()

@@ -1,0 +1,167 @@
+"""Main attack driver — CLI analog of ``attack_main2.py __main__``
+(`:842-1151`) and ``interpolation.py __main__`` (`:1094-1494`).
+
+Runs end-to-end with NO external checkpoints or datasets: absent a
+``--images_dir`` it synthesises the fusion inputs from the generator
+(the reference's ``--use_generate_img`` path, `attack_main2.py:1001-1002`)
+and absent a ``--target_image`` it synthesises an out-of-domain target from a
+fixed seed (standing in for ``vase1.png``, `attack_main2.py:916`).
+
+Example (tiny models, CPU):
+    python -m tpufusion.cli.attack_run --dataset ffhq --size 32 --tiny \
+        --attacks dp_noise pgd --save_dir runs
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="tpufusion attack driver")
+    p.add_argument("--dataset", default="ffhq", choices=["ffhq", "car", "church"])
+    p.add_argument("--attacks", nargs="*", default=["dp_noise"],
+                   help="attack names (see tpufusion.configs.ATTACK_CHOICES)")
+    p.add_argument("--images_dir", default=None)
+    p.add_argument("--target_image", default=None)
+    p.add_argument("--save_dir", default="runs")
+    p.add_argument("--size", type=int, default=None, help="generator size override")
+    p.add_argument("--tiny", action="store_true", help="tiny test-scale models")
+    p.add_argument("--seed", type=int, default=123456789)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--n_iters", type=int, default=None)
+    p.add_argument("--which_adv", type=int, nargs="*", default=[])
+    p.add_argument("--max_count", type=int, default=50)
+    p.add_argument("--patch_type", default="square", choices=["square", "circle"])
+    p.add_argument("--patch_size", type=float, default=0.1)
+    p.add_argument("--paste_times", type=int, default=3)
+    p.add_argument("--scale", type=float, default=0.4)
+    p.add_argument("--pgd_steps", type=int, default=40)
+    p.add_argument("--train_size", type=int, default=2000)
+    p.add_argument("--test_size", type=int, default=1000)
+    p.add_argument("--hybrid_adv", action="store_true")
+    p.add_argument("--stylegan_ckpt", default=None)
+    p.add_argument("--e4e_ckpt", default=None)
+    p.add_argument("--vgg_ckpt", default=None)
+    p.add_argument("--fusion_weights", default=None)
+    p.add_argument("--no_save_img", action="store_true")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from tpufusion.configs import AttackRunConfig, PathsConfig
+    from tpufusion.core.prng import seed_everything
+    from tpufusion.data import ImageFolderDataset, setup_loaders, transform_for
+    from tpufusion.io import load_image
+    from tpufusion.pipeline import FusionPipeline, create_test_pipeline
+    from tpufusion.runner import generate_inputs, run_experiment
+    from tpufusion.utils import Logger
+
+    pool = seed_everything(args.seed)
+    cfg = AttackRunConfig(
+        dataset_name=args.dataset, attacks=tuple(args.attacks), lr=args.lr,
+        n_iters=args.n_iters, which_adv=args.which_adv, max_count=args.max_count,
+        patch_type=args.patch_type, patch_size=args.patch_size,
+        paste_times=args.paste_times, scale=args.scale, pgd_steps=args.pgd_steps,
+        train_size=args.train_size, test_size=args.test_size,
+        hybrid_adv=args.hybrid_adv, save_img=not args.no_save_img,
+        image_size=args.size,
+        paths=PathsConfig(
+            images_dir=args.images_dir, save_dir=args.save_dir,
+            stylegan_ckpt=args.stylegan_ckpt, e4e_ckpt=args.e4e_ckpt,
+            vgg_ckpt=args.vgg_ckpt, fusion_weights=args.fusion_weights,
+            target_image=args.target_image,
+        ),
+    )
+
+    dataset_dir = os.path.join(args.save_dir, args.dataset)
+    os.makedirs(dataset_dir, exist_ok=True)
+
+    t0 = time.time()
+    print(f"[attack_run] building {args.dataset} pipeline "
+          f"(size={args.size or 'default'}, tiny={args.tiny}) …")
+    if args.tiny:
+        pipeline = create_test_pipeline(args.dataset, pool.next(), size=args.size or 32)
+    else:
+        pipeline = FusionPipeline.create(
+            args.dataset, pool.next(), size=args.size,
+        )
+    pipeline = _maybe_load_checkpoints(pipeline, cfg.paths)
+    print(f"[attack_run] pipeline ready in {time.time() - t0:.1f}s "
+          f"(generator {pipeline.image_size}^2)")
+
+    n = cfg.n_inputs
+    if args.images_dir:
+        ds = ImageFolderDataset(args.images_dir, transform=transform_for(args.dataset))
+        _, test_loader = setup_loaders(
+            ds, train_size=min(cfg.train_size, max(len(ds) - n, 0)),
+            test_size=min(cfg.test_size, len(ds)), test_batch_size=n,
+            seed=args.seed % (2**31),
+        )
+        inputs = jnp.asarray(next(iter(test_loader)))
+    else:
+        print("[attack_run] no --images_dir: generating inputs from the generator")
+        inputs = generate_inputs(pipeline, n, pool.next())
+
+    if args.target_image:
+        target = jnp.asarray(load_image(args.target_image, pipeline.image_size))
+    else:
+        z = jax.random.normal(jax.random.key(7777), (1, 512)) * 2.0
+        target, _ = pipeline.drawer.z_to_image(z)
+        target = jnp.asarray(target)
+
+    results = run_experiment(
+        pipeline, cfg, inputs, target, pool.next(),
+        save_root=dataset_dir if cfg.save_img else None,
+    )
+
+    for attack in cfg.attacks:
+        for r in results[attack]:
+            noise = float(jnp.mean(r["noise"]))
+            ssim_all = float(r["ssim_spatial"][-1])
+            print(f"[attack_run] {attack}: input-noise MSE {noise:.5f}, "
+                  f"spatial SSIM(all-adv vs benign) {ssim_all:.4f}")
+    print(f"[attack_run] artifacts under {dataset_dir}")
+    return 0
+
+
+def _maybe_load_checkpoints(pipeline, paths):
+    """Fill converted reference checkpoints into the pipeline if provided."""
+    from tpufusion.io import (
+        convert_e4e_checkpoint,
+        convert_stylegan2_checkpoint,
+        convert_vgg16_checkpoint,
+        load_torch_state_dict,
+    )
+    import jax.numpy as jnp
+
+    if paths.stylegan_ckpt:
+        state = load_torch_state_dict(paths.stylegan_ckpt)
+        g_ema = state.get("g_ema", state)
+        pipeline.drawer.gen_vars = convert_stylegan2_checkpoint(g_ema, pipeline.generator)
+    if paths.e4e_ckpt:
+        ckpt = load_torch_state_dict(paths.e4e_ckpt)
+        enc_vars, latent_avg = convert_e4e_checkpoint(ckpt, pipeline.encoder)
+        pipeline.enc_vars = enc_vars
+        if latent_avg is not None:
+            pipeline.latent_avg = jnp.asarray(latent_avg)
+    if paths.vgg_ckpt:
+        state = load_torch_state_dict(paths.vgg_ckpt)
+        pipeline.vgg_vars = convert_vgg16_checkpoint(state)
+    if paths.fusion_weights:
+        pipeline.drawer.blend_params = pipeline.drawer.blender.load_fusion_nets(
+            paths.fusion_weights
+        )
+    return pipeline
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,13 @@
+from tpufusion.io.images import load_image, save_image, save_montage
+from tpufusion.io.artifacts import (
+    ArtifactStore,
+    new_adv_dir,
+    new_run_folder,
+    write_parameters,
+)
+from tpufusion.io.checkpoint import (
+    convert_e4e_checkpoint,
+    convert_stylegan2_checkpoint,
+    convert_vgg16_checkpoint,
+    load_torch_state_dict,
+)

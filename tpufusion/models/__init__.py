@@ -6,3 +6,8 @@ from tpufusion.models.fusion_hierarchy import (
     get_all_active_parts,
     TREES,
 )
+from tpufusion.models.discriminator import (
+    Discriminator,
+    create_discriminator,
+    realism_scores,
+)

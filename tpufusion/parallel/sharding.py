@@ -1,0 +1,155 @@
+"""Mesh + sharding rules — SURVEY §2 P1/P2/P3 (new components; the reference
+is strictly single-GPU, `attack_main2.py:843`).
+
+Axes:
+- ``data``: batch axis of image batches — the attack loops are
+  embarrassingly batch-parallel (each image optimises independently), so DP
+  is the primary scaling axis; XLA emits the (only needed) collectives for
+  metric reductions over ICI.
+- ``model``: tensor-parallel axis for the generator's widest layers (style
+  MLPs and low-resolution conv channels).  At 1024^2 a single v5e chip fits
+  the whole model (SURVEY P3), so TP is optional head-room, expressed purely
+  as weight shardings — GSPMD propagates and inserts all_gathers.
+
+No hand-written communication: shardings in, XLA collectives out (P2).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def create_mesh(
+    devices: Optional[Sequence] = None,
+    *,
+    data: Optional[int] = None,
+    model: int = 1,
+) -> Mesh:
+    """Build a ('data','model') mesh over the available devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data is None:
+        data = n // model
+    if data * model != n:
+        raise ValueError(f"mesh {data}x{model} != {n} devices")
+    arr = np.asarray(devices).reshape(data, model)
+    return Mesh(arr, ("data", "model"))
+
+
+def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    """Shard the leading (batch) axis over ``data``."""
+    return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
+
+
+def replicate(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_generator_params(variables, mesh: Mesh):
+    """TP rule: shard the out-features of mapping/affine kernels and the
+    out-channels of synthesis conv weights over ``model``; replicate the
+    rest.  Returns the variables placed with NamedShardings."""
+
+    model_size = mesh.shape["model"]
+
+    def spec_for(path, leaf):
+        name = "/".join(str(p.key) if hasattr(p, "key") else str(p) for p in path)
+        if (leaf.ndim == 2 and ("fc" in name or "affine" in name)
+                and leaf.shape[1] % model_size == 0):
+            return P(None, "model")
+        if (leaf.ndim == 4 and name.startswith("params/w")
+                and leaf.shape[3] % model_size == 0):  # to_rgb (cout=3) stays replicated
+            return P(None, None, None, "model")
+        return P()
+
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: jax.device_put(leaf, NamedSharding(mesh, spec_for(path, leaf))),
+        variables,
+    )
+
+
+def make_sharded_whitebox_step(pipeline, config, mesh: Mesh):
+    """One data-parallel white-box optimisation step over the mesh.
+
+    The full training step of this framework *is* the attack step (SURVEY
+    §3.3): encoder fwd + decoder fwd + 2x VGG fwd + backward + Adam update on
+    the pixel buffer.  Batch axis sharded over ``data``; params replicated
+    (or TP-sharded via ``shard_generator_params``).
+
+    Returns ``(step, init)`` where ``init(imgs, targets) -> state`` and
+    ``step(state) -> (state, loss)``; both jitted with explicit shardings.
+    """
+    import jax.numpy as jnp
+    import optax
+
+    from tpufusion.core.imaging import avg_pool
+    from tpufusion.models.vgg16 import perceptual_distance
+
+    w = config.weights
+    enc = pipeline.encode_fn()
+    dec = pipeline.decode_fn()
+    vgg = pipeline.vgg_fn()
+    enc_vars, gen_vars, vgg_vars = (
+        pipeline.enc_vars, pipeline.drawer.gen_vars, pipeline.vgg_vars,
+    )
+    factor = pipeline.pool_factor
+    opt = optax.adam(config.lr)
+
+    def mse_b(a, b):  # per-sample MSE, mean over batch -> same grads as
+        d = a.astype(jnp.float32) - b.astype(jnp.float32)  # per-image Adam up
+        return jnp.mean(d * d, axis=tuple(range(1, a.ndim)))  # to lr scaling
+
+    def loss_fn(x, img_org, target_img, latent_org, latent_target, feats_org):
+        r_x = avg_pool(x, factor)
+        latent_pred = enc(enc_vars, r_x)
+        img_rec = dec(gen_vars, latent_pred)
+        feats_x = vgg(vgg_vars, r_x)
+        per = (
+            w.latent_target * mse_b(latent_target, latent_pred)
+            + w.latent_org * mse_b(latent_org, latent_pred)
+            + w.img_rec_target * mse_b(target_img, img_rec)
+            + w.img_org * mse_b(img_org, x)
+        )
+        loss = jnp.sum(per)
+        if w.lpips_img != 0.0:
+            loss = loss + w.lpips_img * perceptual_distance(feats_x, feats_org) * x.shape[0]
+        return loss
+
+    bspec = lambda nd: NamedSharding(mesh, P("data", *([None] * (nd - 1))))
+
+    @jax.jit
+    def init(imgs, targets):
+        r_org = avg_pool(imgs, factor)
+        r_t = avg_pool(targets, factor)
+        return dict(
+            x=imgs,
+            img_org=imgs,
+            target=targets,
+            latent_org=enc(enc_vars, r_org),
+            latent_target=enc(enc_vars, r_t),
+            feats_org=vgg(vgg_vars, r_org),
+            opt_state=opt.init(imgs),
+        )
+
+    @jax.jit
+    def step(state):
+        x = state["x"]
+        loss, g = jax.value_and_grad(loss_fn)(
+            x, state["img_org"], state["target"], state["latent_org"],
+            state["latent_target"], state["feats_org"],
+        )
+        updates, opt_state = opt.update(g, state["opt_state"])
+        x = optax.apply_updates(x, updates)
+        new_state = dict(state, x=x, opt_state=opt_state)
+        return new_state, loss
+
+    def place_batch(imgs, targets):
+        imgs = jax.device_put(imgs, bspec(imgs.ndim))
+        targets = jax.device_put(targets, bspec(targets.ndim))
+        return imgs, targets
+
+    return step, init, place_batch

@@ -1,0 +1,237 @@
+"""Experiment runner — the attack dispatcher + full evaluation loop.
+
+Rebuilds the reference's driver layer (SURVEY §3.1/§3.2):
+``main_optimize`` dispatch by attack name (`attack_main2.py:299-404`), the
+benign-fusion / attack / partial-fusion / metrics loop
+(`attack_main2.py:990-1111`, `interpolation.py:1267-1451`) and the hybrid
+splice (`attack_main2.py:1114-1151`).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpufusion.attacks import (
+    CWConfig,
+    PatchConfig,
+    PGDConfig,
+    WhiteboxConfig,
+    apply_patch,
+    dp_noise,
+    make_pgd,
+    out_domain_more,
+    out_domain_single,
+    paste_patch,
+    splice_hybrid,
+    train_patch,
+)
+from tpufusion.attacks.whitebox import PRESET_ATTACK_MAIN, run_whitebox
+from tpufusion.configs import AttackRunConfig
+from tpufusion.eval import ResultsTable, benign_fusion, fused_image_metrics, partial_adv_fusion
+from tpufusion.eval.metrics import mse_per_image
+from tpufusion.io import ArtifactStore, new_adv_dir, new_run_folder, save_image, save_montage, write_parameters
+from tpufusion.pipeline import FusionPipeline
+
+
+def generate_inputs(pipeline: FusionPipeline, n_imgs: int, key) -> jax.Array:
+    """``generate_images`` (`attack_main2.py:509-518`): sample z per input and
+    synthesise — the data-free path (``--use_generate_img``)."""
+    drawer = pipeline.drawer
+    imgs = []
+    for i in range(n_imgs):
+        z = jax.random.normal(jax.random.fold_in(key, i), (1, 512))
+        img, _ = drawer.z_to_image(z)
+        imgs.append(img)
+    # clamp to the valid image range: untrained generators can exceed [-1,1],
+    # and every attack's projection step assumes in-range sources
+    return jnp.clip(jnp.concatenate(imgs, axis=0), -1.0, 1.0)
+
+
+def dispatch_attack(
+    pipeline: FusionPipeline,
+    attack: str,
+    inputs: jax.Array,
+    target_img: jax.Array,
+    cfg: AttackRunConfig,
+    key: jax.Array,
+    train_images=None,
+    run_dir: Optional[str] = None,
+) -> List[jax.Array]:
+    """``main_optimize`` equivalent: returns a LIST of adversarial batches
+    (out_domain_single yields one batch per substituted index,
+    `attack_main2.py:390-395`)."""
+    size = pipeline.image_size
+
+    if attack == "dp_noise":
+        return [dp_noise(inputs, key, cfg.scale)]
+
+    if attack == "patch":
+        return [paste_patch(inputs, target_img, cfg.paste_times)]
+
+    if attack == "out_domain_more":
+        return [out_domain_more(inputs, target_img)]
+
+    if attack == "out_domain_single":
+        return [
+            out_domain_single(inputs, target_img, i) for i in range(inputs.shape[0])
+        ]
+
+    if attack == "patch_white_box":
+        pcfg = PatchConfig(
+            patch_type=cfg.patch_type, patch_frac=cfg.patch_size,
+            max_count=cfg.max_count, epochs=cfg.epochs,
+        )
+        imgs = train_images if train_images is not None else [
+            inputs[i : i + 1] for i in range(inputs.shape[0])
+        ]
+        canvas, mask = train_patch(pipeline, imgs, key, pcfg, target_img)
+        if run_dir:
+            np.savez(os.path.join(run_dir, "patch.npz"),
+                     patch=np.asarray(canvas), mask=np.asarray(mask))
+        return [apply_patch(inputs, canvas, mask)]
+
+    if attack in ("white_box_target", "white_box_patch"):
+        wcfg = WhiteboxConfig(
+            lr=cfg.lr, n_iters=cfg.iters_for(size), weights=PRESET_ATTACK_MAIN
+        )
+        if attack == "white_box_patch":
+            # per-image paste target (`attack_main2.py:339-351`)
+            target = paste_patch(inputs, target_img, cfg.paste_times)
+        else:
+            target = target_img
+        adv, _ = run_whitebox(pipeline, inputs, target, wcfg, cfg.which_adv)
+        return [adv]
+
+    if attack in ("pgd", "fgsm"):
+        # encoder-drift objective: push codes away from the originals
+        latent_org = jax.lax.stop_gradient(pipeline.encode(inputs))
+        enc = pipeline.encode_fn()
+        enc_vars, factor = pipeline.enc_vars, pipeline.pool_factor
+        from tpufusion.core.imaging import avg_pool
+
+        def loss(adv):
+            codes = enc(enc_vars, avg_pool(adv, factor))
+            return jnp.mean((codes - latent_org) ** 2)
+
+        steps = 1 if attack == "fgsm" else cfg.pgd_steps
+        pcfg = PGDConfig(
+            eps=cfg.pgd_eps * 2.0,  # [-1,1] range is 2x the [0,1] recipe
+            alpha=cfg.pgd_alpha, steps=steps, random_start=(attack == "pgd"),
+        )
+        adv, _ = make_pgd(loss, pcfg)(inputs, key)
+        return [adv]
+
+    if attack == "adv_generate":
+        # load pre-generated adversarial inputs (`interpolation.py:1377-1394`)
+        path = cfg.paths.images_dir
+        raise NotImplementedError(
+            f"adv_generate expects precomputed adversarial crops; point "
+            f"ArtifactStore.load at the saved all_adv_inputs.npz (dir={path})"
+        )
+
+    raise ValueError(f"unknown attack {attack!r}")
+
+
+def run_experiment(
+    pipeline: FusionPipeline,
+    cfg: AttackRunConfig,
+    inputs: jax.Array,
+    target_img: jax.Array,
+    key: jax.Array,
+    save_root: Optional[str] = None,
+) -> dict:
+    """One full attack evaluation on one fusion batch: benign fusion (both
+    modes), attack, partial fusion (both modes), metric table, artifacts.
+
+    Returns a dict of results (and writes images/artifacts when
+    ``save_root``).
+    """
+    results: dict = {}
+    n = inputs.shape[0]
+    all_latents = pipeline.get_latents(inputs)
+
+    b_sp, singles_sp, feats = benign_fusion(pipeline.drawer, all_latents, "spatial")
+    b_ar, singles_ar, _ = benign_fusion(pipeline.drawer, all_latents, "arithmetic")
+    rec_loss = mse_per_image(inputs, singles_sp)
+    results["benign"] = dict(
+        fused_spatial=b_sp, fused_arith=b_ar, rec_loss=rec_loss, features=feats
+    )
+
+    for attack in cfg.attacks:
+        run_dir = None
+        store = None
+        if save_root:
+            run_dir = new_adv_dir(save_root, cfg.run_postfix(attack, pipeline.image_size))
+            benign_dir = new_run_folder(os.path.join(run_dir, "benign"))
+            adv_dir = new_run_folder(os.path.join(run_dir, "adversarial"))
+            write_parameters(run_dir, {
+                "adversarial attack": attack, "dataset": cfg.dataset_name,
+                "dataset size": pipeline.image_size, "epochs": cfg.epochs,
+                "max_count": cfg.max_count, "patch_size": cfg.patch_size,
+                "train_size": cfg.train_size, "patch_type": cfg.patch_type,
+                "white-box max_iter": cfg.iters_for(pipeline.image_size),
+                "white-box lr": cfg.lr, "use_generate_img": cfg.use_generate_img,
+            })
+            save_montage(inputs, os.path.join(benign_dir, "spatial_org_inputs_0.jpg"), nrow=n)
+            save_image(b_sp, os.path.join(benign_dir, "spatial_org_fusion_0.jpg"))
+            save_montage(singles_sp, os.path.join(benign_dir, "spatial_org_without_fusion_0.jpg"), nrow=n)
+            save_image(b_ar, os.path.join(benign_dir, "arith_org_fusion_0.jpg"))
+            save_montage(singles_ar, os.path.join(benign_dir, "arith_org_without_fusion_0.jpg"), nrow=n)
+            store = ArtifactStore(adv_dir)
+            store.append("all_inputs", inputs)
+            store.append("all_rec_loss", rec_loss)
+            store.append("all_inner_feature", feats)
+
+        key, k = jax.random.split(key)
+        adv_batches = dispatch_attack(
+            pipeline, attack, inputs, target_img, cfg, k, run_dir=run_dir
+        )
+
+        table = ResultsTable(n)
+        attack_results = []
+        for bi, adv in enumerate(adv_batches):
+            adv_latents = pipeline.get_latents(adv)
+            part_sp = partial_adv_fusion(pipeline.drawer, all_latents, adv_latents, "spatial")
+            part_ar = partial_adv_fusion(pipeline.drawer, all_latents, adv_latents, "arithmetic")
+            noise = mse_per_image(inputs, adv)
+            cri_sp, vg_sp, ss_sp = fused_image_metrics(pipeline, b_sp, part_sp)
+            cri_ar, vg_ar, ss_ar = fused_image_metrics(pipeline, b_ar, part_ar)
+            table.add_batch(noise, cri_sp, cri_ar, vg_sp, vg_ar, ss_sp, ss_ar)
+            attack_results.append(dict(
+                adv_inputs=adv, noise=noise,
+                partial_spatial=part_sp, partial_arith=part_ar,
+                cri_spatial=cri_sp, cri_arith=cri_ar,
+                vg_spatial=vg_sp, vg_arith=vg_ar,
+                ssim_spatial=ss_sp, ssim_arith=ss_ar,
+            ))
+            if store is not None:
+                store.append("all_adv_inputs", adv)
+                adv_singles, _ = pipeline.drawer.w_plus_to_image(adv_latents)
+                store.append("all_adv_rec_loss", mse_per_image(adv, adv_singles))
+                save_montage(adv, os.path.join(store.run_dir, f"adv_inputs_0_{bi}_all.jpg"), nrow=n)
+                save_image(part_sp[-1:], os.path.join(store.run_dir, f"spatial_adv_fusion_0_{bi}_all.jpg"))
+                save_montage(part_sp, os.path.join(store.run_dir, f"spatial_partial_fusion_0_{bi}_all.jpg"), nrow=n + 1)
+                save_montage(part_ar, os.path.join(store.run_dir, f"arith_partial_fusion_0_{bi}_all.jpg"), nrow=n + 1)
+
+        if store is not None:
+            store.flush()
+            table.save(os.path.join(run_dir, "new_mask.xlsx"))
+        results[attack] = attack_results
+
+    if cfg.hybrid_adv and len(cfg.attacks) >= 1:
+        pieces = [results[a][0]["adv_inputs"] for a in cfg.attacks]
+        hybrid, counts = splice_hybrid(pieces, n)
+        h_latents = pipeline.get_latents(hybrid)
+        h_sp, h_singles, _ = benign_fusion(pipeline.drawer, h_latents, "spatial")
+        results["hybrid"] = dict(inputs=hybrid, fused=h_sp, counts=counts)
+        if save_root:
+            hdir = new_adv_dir(save_root, f"{cfg.dataset_name}_hybrid_attack")
+            save_montage(hybrid, os.path.join(hdir, "hybrid_fusion_inputs.jpg"), nrow=n)
+            save_image(h_sp, os.path.join(hdir, "hybrid_fusion.jpg"))
+
+    return results
