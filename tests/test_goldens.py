@@ -1,0 +1,41 @@
+"""Golden-value regression tests — the framework analog of the reference's
+determinism pinning + committed golden images (SURVEY §4): fixed seeds, fixed
+noise buffers, byte-stable outputs across runs.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpufusion.core.dtypes import Policy
+from tpufusion.models import create_generator
+
+GOLDEN_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "goldens")
+
+
+class TestGenerartorGolden:
+    def test_fixed_seed_generator_matches_golden(self):
+        """Same init seed + same z must reproduce the committed activations
+        (CPU fp32, highest matmul precision — pinned in conftest)."""
+        with np.load(os.path.join(GOLDEN_DIR, "generator_32_seed42.npz")) as g:
+            golden_img, z = g["image"], g["z"]
+        gen, variables = create_generator(
+            32, jax.random.key(42), channel_multiplier=1, policy=Policy()
+        )
+        img = jax.jit(lambda v, z_: gen.apply(v, [z_]).image)(
+            variables, jnp.asarray(z)
+        )
+        np.testing.assert_allclose(np.asarray(img), golden_img, atol=2e-4, rtol=2e-4)
+
+    def test_noise_buffers_deterministic_across_builds(self):
+        """randomize_noise=False semantics: two independent inits share the
+        same noise buffers (they are keyed by layer index, not by init key)."""
+        _, v1 = create_generator(32, jax.random.key(0), channel_multiplier=1, policy=Policy())
+        _, v2 = create_generator(32, jax.random.key(99), channel_multiplier=1, policy=Policy())
+        for k in v1["noise"]:
+            np.testing.assert_array_equal(
+                np.asarray(v1["noise"][k]), np.asarray(v2["noise"][k])
+            )

@@ -42,6 +42,7 @@ class PathsConfig:
     fusion_weights: Optional[str] = None  # %s_weights.json manifest
     target_image: Optional[str] = None  # vase1.png analog
     discriminator_ckpt: Optional[str] = None  # stylegan2-ada pkl (D)
+    adv_inputs_path: Optional[str] = None  # precomputed adv inputs (adv_generate)
 
 
 @dataclasses.dataclass

@@ -48,12 +48,15 @@ def dataset_type_for(dataset: str) -> str:
 
 def _resize_normalize(size: Tuple[int, int], flip_prob: float = 0.0,
                       rng: np.random.RandomState | None = None):
+    from tpufusion.data import native
+
     def apply(img: Image.Image) -> np.ndarray:
-        img = img.resize((size[1], size[0]), Image.BILINEAR)  # PIL is (W,H)
-        arr = np.asarray(img, dtype=np.float32) / 255.0
+        # fused resize+normalize in the native host library when available
+        # (one C pass instead of PIL resize + two numpy passes)
+        arr = native.resize_normalize(np.asarray(img, dtype=np.uint8), *size)
         if flip_prob > 0.0 and (rng or np.random).rand() < flip_prob:
-            arr = arr[:, ::-1]
-        return arr * 2.0 - 1.0  # Normalize(mean .5, std .5)
+            arr = np.ascontiguousarray(arr[:, ::-1])
+        return arr  # [-1, 1] (Normalize(mean .5, std .5))
 
     return apply
 

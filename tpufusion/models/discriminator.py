@@ -126,7 +126,7 @@ def create_discriminator(
 ):
     policy = policy or default_policy()
     d = Discriminator(size=size, channel_multiplier=channel_multiplier, policy=policy)
-    variables = d.init(key, jnp.zeros((1, size, size, 3), policy.compute_dtype))
+    variables = jax.jit(d.init)(key, jnp.zeros((1, size, size, 3), policy.compute_dtype))
     return d, variables
 
 

@@ -237,5 +237,5 @@ def create_encoder(
         unit_counts=tuple(unit_counts),
         policy=policy,
     )
-    variables = enc.init(key, jnp.zeros((1, image_size, image_size, 3), policy.compute_dtype))
+    variables = jax.jit(enc.init)(key, jnp.zeros((1, image_size, image_size, 3), policy.compute_dtype))
     return enc, variables

@@ -174,7 +174,7 @@ class HierarchyBlender:
         dummy = tuple(jnp.zeros((1, d), jnp.float32) for d in self.style_dims)
         params = {}
         for i, name in enumerate(self.internal_nodes):
-            params[name] = self.net.init(jax.random.fold_in(key, i), dummy, dummy, dummy)
+            params[name] = jax.jit(self.net.init)(jax.random.fold_in(key, i), dummy, dummy, dummy)
         return params
 
     def load_fusion_nets(self, manifest_path: str) -> dict:

@@ -384,5 +384,5 @@ def create_generator(
         size=size, channel_multiplier=channel_multiplier, policy=policy, remat=remat
     )
     z = jnp.zeros((1, gen.style_dim), policy.compute_dtype)
-    variables = gen.init(key, [z])
+    variables = jax.jit(lambda k, z_: gen.init(k, [z_]))(key, z)
     return gen, variables

@@ -112,5 +112,5 @@ def perceptual_distance(feats_a, feats_b, accum_dtype=jnp.float32):
 def create_vgg16(key: jax.Array, policy: Optional[Policy] = None, image_size: int = 256):
     policy = policy or default_policy()
     model = VGG16(policy=policy)
-    variables = model.init(key, jnp.zeros((1, image_size, image_size, 3), policy.compute_dtype))
+    variables = jax.jit(model.init)(key, jnp.zeros((1, image_size, image_size, 3), policy.compute_dtype))
     return model, variables

@@ -128,11 +128,16 @@ def dispatch_attack(
 
     if attack == "adv_generate":
         # load pre-generated adversarial inputs (`interpolation.py:1377-1394`)
-        path = cfg.paths.images_dir
-        raise NotImplementedError(
-            f"adv_generate expects precomputed adversarial crops; point "
-            f"ArtifactStore.load at the saved all_adv_inputs.npz (dir={path})"
-        )
+        from tpufusion.data.adv_inputs import load_adv_inputs
+
+        src = cfg.paths.adv_inputs_path
+        if not src:
+            raise ValueError(
+                "adv_generate needs paths.adv_inputs_path (an "
+                "all_adv_inputs.npz artifact or a montage image)"
+            )
+        adv = load_adv_inputs(src, inputs.shape[0], size)
+        return [jnp.asarray(adv)]
 
     raise ValueError(f"unknown attack {attack!r}")
 
