@@ -252,3 +252,27 @@ class TestHybrid:
     def test_insufficient_rows(self):
         with pytest.raises(ValueError):
             splice_hybrid([jnp.zeros((1, 2)), jnp.zeros((5, 2))], 5)
+
+
+class TestWhiteboxStepwise:
+    def test_matches_scanned_variant(self, pipeline):
+        """Stepwise (host-looped) whitebox == scanned whitebox trajectories."""
+        import jax
+        import jax.numpy as jnp
+        from tpufusion.attacks.whitebox import (
+            make_whitebox_attack,
+            run_whitebox_stepwise,
+        )
+
+        cfg = WhiteboxConfig(lr=0.01, n_iters=4)
+        img = jax.random.uniform(jax.random.key(11), (1, 32, 32, 3), minval=-1, maxval=1)
+        target = jax.random.uniform(jax.random.key(12), (1, 32, 32, 3), minval=-1, maxval=1)
+        adv_scan, trace_scan = make_whitebox_attack(pipeline, cfg)(img, target)
+        adv_step, trace_step = run_whitebox_stepwise(pipeline, img, target, cfg)
+        np.testing.assert_allclose(
+            np.asarray(adv_scan), np.asarray(adv_step), atol=3e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(trace_scan["total"]), np.asarray(trace_step["total"]),
+            rtol=1e-3,
+        )

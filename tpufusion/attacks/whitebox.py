@@ -148,6 +148,94 @@ def make_whitebox_attack(pipeline: FusionPipeline, config: WhiteboxConfig):
     return attack
 
 
+def make_whitebox_stepper(pipeline: FusionPipeline, config: WhiteboxConfig):
+    """Stepwise variant: ONE jitted optimisation step + a host loop.
+
+    The scanned variant compiles the whole ``n_iters`` loop into one program;
+    on deployments where the compile service struggles with very large
+    modules (remote-compile tunnels), this keeps the compiled unit small.
+    JAX dispatch is asynchronous, so the host loop still pipelines steps
+    back-to-back on device; only the final fetch blocks.
+
+    Returns ``(init, step)``: ``state = init(img, target)``,
+    ``state, terms = step(state)``; the adversarial image is ``state["x"]``.
+    """
+    w = config.weights
+    enc = pipeline.encode_fn()
+    dec = pipeline.decode_fn()
+    vgg = pipeline.vgg_fn()
+    enc_vars, gen_vars, vgg_vars = (
+        pipeline.enc_vars, pipeline.drawer.gen_vars, pipeline.vgg_vars,
+    )
+    factor = pipeline.pool_factor
+    opt = optax.adam(config.lr)
+
+    def mse(a, b):
+        d = a.astype(jnp.float32) - b.astype(jnp.float32)
+        return jnp.mean(d * d)
+
+    @jax.jit
+    def init(img, target_img):
+        r_org = avg_pool(img, factor)
+        r_t = avg_pool(target_img, factor)
+        return dict(
+            x=img, img_org=img, target=target_img,
+            latent_org=enc(enc_vars, r_org),
+            latent_target=enc(enc_vars, r_t),
+            feats_org=jax.tree.map(jax.lax.stop_gradient, vgg(vgg_vars, r_org)),
+            feats_target=jax.tree.map(jax.lax.stop_gradient, vgg(vgg_vars, r_t)),
+            opt_state=opt.init(img),
+        )
+
+    def loss_fn(x, st):
+        r_x = avg_pool(x, factor)
+        latent_pred = enc(enc_vars, r_x)
+        img_rec = dec(gen_vars, latent_pred)
+        r_rec = avg_pool(img_rec, factor)
+        feats_rec = vgg(vgg_vars, r_rec)
+        feats_x = vgg(vgg_vars, r_x)
+        terms = dict(
+            latent_target=mse(st["latent_target"], latent_pred),
+            latent_org=mse(st["latent_org"], latent_pred),
+            img_rec_target=mse(st["target"], img_rec),
+            img_rec_org=mse(st["img_org"], img_rec),
+            img_org=mse(st["img_org"], x),
+            lpips_img=perceptual_distance(feats_x, st["feats_org"]),
+            lpips_rec_target=perceptual_distance(feats_rec, st["feats_target"]),
+            lpips_rec_org=perceptual_distance(feats_rec, st["feats_org"]),
+        )
+        total = sum(
+            getattr(w, k) * v for k, v in terms.items() if getattr(w, k) != 0.0
+        )
+        return total, terms
+
+    @jax.jit
+    def step(state):
+        (loss, terms), g = jax.value_and_grad(loss_fn, has_aux=True)(
+            state["x"], state
+        )
+        updates, opt_state = opt.update(g, state["opt_state"])
+        x = optax.apply_updates(state["x"], updates)
+        terms["total"] = loss
+        return dict(state, x=x, opt_state=opt_state), terms
+
+    return init, step
+
+
+def run_whitebox_stepwise(pipeline: FusionPipeline, img, target_img,
+                          config: WhiteboxConfig):
+    """Host-looped white-box attack (same semantics as
+    ``make_whitebox_attack``; smaller compiled unit)."""
+    init, step = make_whitebox_stepper(pipeline, config)
+    state = init(img, target_img)
+    traces = []
+    for _ in range(config.n_iters):
+        state, terms = step(state)
+        traces.append(terms)
+    trace = jax.tree.map(lambda *xs: jnp.stack(xs), *traces)
+    return state["x"], trace
+
+
 def vmap_whitebox(pipeline: FusionPipeline, config: WhiteboxConfig):
     """Batched white-box attack: independent Adam per image (vmapped), one
     compiled program for the whole batch.  ``attack(imgs, targets)`` with
