@@ -145,3 +145,77 @@ class TestCheckpointConversion:
         vgg, _ = create_vgg16(jax.random.key(0), policy=FP32, image_size=32)
         taps = jax.jit(vgg.apply)(variables, jnp.zeros((1, 32, 32, 3)))
         assert taps[3].shape[-1] == 512
+
+    def test_e4e_conversion_with_scanned_stages(self):
+        """Synthetic e4e-layout state dict -> stacked scan/vmap params."""
+        from tpufusion.io.checkpoint import convert_e4e_checkpoint
+        from tpufusion.models.e4e import create_encoder
+
+        units = (2, 2, 2, 2)
+        base = 64  # real IR-SE widths: c3 == 512 == style_dim (no c3_proj)
+        enc, ref_vars = create_encoder(
+            jax.random.key(0), n_styles=8, image_size=32,
+            base_channels=base, unit_counts=units, policy=FP32,
+        )
+        rng = np.random.RandomState(0)
+        sd = {}
+        sd["input_layer.0.weight"] = rng.randn(base, 3, 3, 3).astype(np.float32)
+        for suffix, shape in (("weight", base), ("bias", base),
+                              ("running_mean", base), ("running_var", base)):
+            sd[f"input_layer.1.{suffix}"] = rng.rand(shape).astype(np.float32) + 0.5
+        sd["input_layer.2.weight"] = np.full(base, 0.25, np.float32)
+
+        depths = (base, 2 * base, 4 * base, 8 * base)
+        cin = base
+        i = 0
+        for s, n in enumerate(units):
+            for u in range(n):
+                d = depths[s]
+                pre = f"body.{i}"
+                for suffix in ("weight", "bias", "running_mean", "running_var"):
+                    sd[f"{pre}.res_layer.0.{suffix}"] = rng.rand(cin).astype(np.float32) + 0.5
+                    sd[f"{pre}.res_layer.4.{suffix}"] = rng.rand(d).astype(np.float32) + 0.5
+                sd[f"{pre}.res_layer.1.weight"] = rng.randn(d, cin, 3, 3).astype(np.float32)
+                sd[f"{pre}.res_layer.2.weight"] = np.full(d, 0.25, np.float32)
+                sd[f"{pre}.res_layer.3.weight"] = rng.randn(d, d, 3, 3).astype(np.float32)
+                sd[f"{pre}.res_layer.5.fc1.weight"] = rng.randn(max(d // 16, 1), d, 1, 1).astype(np.float32)
+                sd[f"{pre}.res_layer.5.fc2.weight"] = rng.randn(d, max(d // 16, 1), 1, 1).astype(np.float32)
+                if u == 0:  # stride-2 unit has a conv shortcut
+                    sd[f"{pre}.shortcut_layer.0.weight"] = rng.randn(d, cin, 1, 1).astype(np.float32)
+                    for suffix in ("weight", "bias", "running_mean", "running_var"):
+                        sd[f"{pre}.shortcut_layer.1.{suffix}"] = rng.rand(d).astype(np.float32) + 0.5
+                cin = d
+                i += 1
+        # FPN + heads: spatial of c3 = 32/16 = 2 -> 1 conv per head
+        c3 = depths[3]
+        sd["latlayer1.weight"] = rng.randn(512, depths[2], 1, 1).astype(np.float32)
+        sd["latlayer1.bias"] = rng.randn(512).astype(np.float32)
+        sd["latlayer2.weight"] = rng.randn(512, depths[1], 1, 1).astype(np.float32)
+        sd["latlayer2.bias"] = rng.randn(512).astype(np.float32)
+        n_styles = 8
+        spatials = {0: 2, 1: 2, 2: 2, 3: 4, 4: 4, 5: 4, 6: 4, 7: 8}
+        feats_ch = {0: c3, 1: c3, 2: c3}
+        for h in range(n_styles):
+            import math as _math
+
+            n_convs = int(_math.log2(spatials[h]))
+            ch_in = feats_ch.get(h, 512)
+            for k in range(n_convs):
+                sd[f"styles.{h}.convs.{2 * k}.weight"] = rng.randn(
+                    512, ch_in if k == 0 else 512, 3, 3).astype(np.float32)
+                sd[f"styles.{h}.convs.{2 * k}.bias"] = rng.randn(512).astype(np.float32)
+            sd[f"styles.{h}.linear.weight"] = rng.randn(512, 512).astype(np.float32)
+            sd[f"styles.{h}.linear.bias"] = rng.randn(512).astype(np.float32)
+        ckpt = {"state_dict": {f"encoder.{k}": v for k, v in sd.items()},
+                "latent_avg": rng.randn(n_styles, 512).astype(np.float32)}
+
+        variables, latent_avg = convert_e4e_checkpoint(ckpt, enc)
+        # structural parity with a fresh init
+        flat_ref = dict(jax.tree_util.tree_leaves_with_path(ref_vars["params"]))
+        flat_new = dict(jax.tree_util.tree_leaves_with_path(variables["params"]))
+        assert set(flat_ref) == set(flat_new)
+        for path, leaf in flat_ref.items():
+            assert flat_new[path].shape == leaf.shape, path
+        out = jax.jit(enc.apply)(variables, jnp.zeros((1, 32, 32, 3)))
+        assert out.shape == (1, n_styles, 512)
+        assert latent_avg.shape == (n_styles, 512)

@@ -154,34 +154,44 @@ def convert_e4e_checkpoint(ckpt: Mapping, encoder) -> tuple[dict, np.ndarray]:
         },
     }
 
-    # body.{i} -> stage{s}_unit{u}
+    def _unit(src: str) -> dict:
+        unit = {
+            "bn1": _bn(sd, f"{src}.res_layer.0"),
+            "conv1": {"kernel": _conv(sd[f"{src}.res_layer.1.weight"])},
+            "prelu": {"alpha": np.asarray(sd[f"{src}.res_layer.2.weight"])},
+            "conv2": {"kernel": _conv(sd[f"{src}.res_layer.3.weight"])},
+            "bn2": _bn(sd, f"{src}.res_layer.4"),
+            "se": {
+                "fc1": {"kernel": _linear(sd[f"{src}.res_layer.5.fc1.weight"].reshape(
+                    sd[f"{src}.res_layer.5.fc1.weight"].shape[:2]))},
+                "fc2": {"kernel": _linear(sd[f"{src}.res_layer.5.fc2.weight"].reshape(
+                    sd[f"{src}.res_layer.5.fc2.weight"].shape[:2]))},
+            },
+        }
+        if f"{src}.shortcut_layer.0.weight" in sd:
+            unit["shortcut_conv"] = {"kernel": _conv(sd[f"{src}.shortcut_layer.0.weight"])}
+            unit["shortcut_bn"] = _bn(sd, f"{src}.shortcut_layer.1")
+        return unit
+
+    def _stack(trees: list) -> dict:
+        """Stack a list of identical param trees along a new leading axis
+        (the nn.scan / nn.vmap stacked-params layout)."""
+        import jax
+
+        return jax.tree.map(lambda *leaves: np.stack(leaves, axis=0), *trees)
+
+    # body.{i} -> stage{s}_unit0 + scanned stage{s}_rest (stacked units 1..)
     i = 0
     for s, n_units in enumerate(encoder.unit_counts):
-        for u in range(n_units):
-            src = f"body.{i}"
-            unit = {
-                "bn1": _bn(sd, f"{src}.res_layer.0"),
-                "conv1": {"kernel": _conv(sd[f"{src}.res_layer.1.weight"])},
-                "prelu": {"alpha": np.asarray(sd[f"{src}.res_layer.2.weight"])},
-                "conv2": {"kernel": _conv(sd[f"{src}.res_layer.3.weight"])},
-                "bn2": _bn(sd, f"{src}.res_layer.4"),
-                "se": {
-                    "fc1": {"kernel": _linear(sd[f"{src}.res_layer.5.fc1.weight"].reshape(
-                        sd[f"{src}.res_layer.5.fc1.weight"].shape[:2]))},
-                    "fc2": {"kernel": _linear(sd[f"{src}.res_layer.5.fc2.weight"].reshape(
-                        sd[f"{src}.res_layer.5.fc2.weight"].shape[:2]))},
-                },
-            }
-            if f"{src}.shortcut_layer.0.weight" in sd:
-                unit["shortcut_conv"] = {
-                    "kernel": _conv(sd[f"{src}.shortcut_layer.0.weight"])
-                }
-                unit["shortcut_bn"] = _bn(sd, f"{src}.shortcut_layer.1")
-            p[f"stage{s}_unit{u}"] = unit
-            i += 1
+        p[f"stage{s}_unit0"] = _unit(f"body.{i}")
+        i += 1
+        rest = [_unit(f"body.{i + u}") for u in range(n_units - 1)]
+        i += n_units - 1
+        if rest:
+            p[f"stage{s}_rest"] = {"block": _stack(rest)}
 
-    # style heads
-    for h in range(encoder.n_styles):
+    # style heads -> 3 vmapped groups with stacked params
+    def _head(h: int) -> dict:
         head: dict = {}
         k = 0
         while f"styles.{h}.convs.{2 * k}.weight" in sd:
@@ -194,7 +204,15 @@ def convert_e4e_checkpoint(ckpt: Mapping, encoder) -> tuple[dict, np.ndarray]:
             "kernel": _linear(sd[f"styles.{h}.linear.weight"]),
             "bias": np.asarray(sd[f"styles.{h}.linear.bias"]),
         }
-        p[f"style{h}"] = head
+        return head
+
+    n_coarse, n_middle, n_fine = encoder.head_group_sizes()
+    start = 0
+    for name, count in (("heads_coarse", n_coarse), ("heads_middle", n_middle),
+                        ("heads_fine", n_fine)):
+        if count:
+            p[name] = _stack([_head(h) for h in range(start, start + count)])
+            start += count
 
     latent_avg = np.asarray(ckpt.get("latent_avg")) if "latent_avg" in ckpt else None
     return {"params": p}, latent_avg

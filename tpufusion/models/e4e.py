@@ -148,11 +148,31 @@ def _upsample_add(x, y):
     return up.astype(y.dtype) + y
 
 
+class _ScanUnit(nn.Module):
+    """Scan body: one stride-1 IR-SE block as (carry, None) -> (carry, None)."""
+
+    depth: int
+    policy: Policy = dataclasses.field(default_factory=default_policy)
+
+    @nn.compact
+    def __call__(self, carry, _):
+        return BottleneckIRSE(self.depth, 1, policy=self.policy, name="block")(carry), None
+
+
 class Encoder4Editing(nn.Module):
     """IR-SE backbone + progressive style heads; returns (N, n_styles, 512).
 
     Output is the raw encoder prediction; add ``latent_avg`` via
     ``get_latents`` below (mirrors `attack_main2.py:137-146`).
+
+    Compile-scaling design (TPU-specific, found empirically: XLA compile time
+    grows superlinearly with conv-chain depth in backward graphs, and this
+    deployment's compile service dies on very deep modules):
+    - the (n-1) identical stride-1 units of each stage run under ``nn.scan``
+      with stacked params — one compiled block body per stage;
+    - the style heads run under ``nn.vmap`` in three groups (coarse@c3,
+      middle@p2, fine@p1) — one compiled head body per group, and the 18
+      small head convs become 3 batched convs (an MXU win as well).
     """
 
     n_styles: int = 18
@@ -162,6 +182,15 @@ class Encoder4Editing(nn.Module):
     coarse_ind: int = 3
     middle_ind: int = 7
     policy: Policy = dataclasses.field(default_factory=default_policy)
+
+    def head_group_sizes(self):
+        """(coarse, middle, fine) head counts; coarse includes head 0."""
+        n = self.n_styles
+        return (
+            min(self.coarse_ind, n),
+            max(min(self.middle_ind, n) - self.coarse_ind, 0),
+            max(n - self.middle_ind, 0),
+        )
 
     @nn.compact
     def __call__(self, x):
@@ -177,10 +206,16 @@ class Encoder4Editing(nn.Module):
 
         taps = []
         for stage, (depth, n_units) in enumerate(zip(depths, self.unit_counts)):
-            for unit in range(n_units):
-                stride = 2 if unit == 0 else 1
-                y = BottleneckIRSE(depth, stride, policy=self.policy,
-                                   name=f"stage{stage}_unit{unit}")(y)
+            y = BottleneckIRSE(depth, 2, policy=self.policy,
+                               name=f"stage{stage}_unit0")(y)
+            if n_units > 1:
+                scanned = nn.scan(
+                    _ScanUnit,
+                    variable_axes={"params": 0},
+                    split_rngs={"params": True},
+                    length=n_units - 1,
+                )(depth, policy=self.policy, name=f"stage{stage}_rest")
+                y, _ = scanned(y, None)
             if stage >= 1:
                 taps.append(y)
         c1, c2, c3 = taps  # 2b@64^2, 4b@32^2, 8b@16^2 (for 256^2 input)
@@ -192,20 +227,25 @@ class Encoder4Editing(nn.Module):
                                    name="c3_proj")(c3), lat1)
         p1 = _upsample_add(p2, lat2)
 
-        s3 = c3.shape[1]
-        w0 = GradualStyleBlock(self.style_dim, s3, policy=self.policy, name="style0")(c3)
-        deltas = [w0]
-        for i in range(1, self.n_styles):
-            if i < self.coarse_ind:
-                feat, sp = c3, s3
-            elif i < self.middle_ind:
-                feat, sp = p2, p2.shape[1]
-            else:
-                feat, sp = p1, p1.shape[1]
-            deltas.append(
-                GradualStyleBlock(self.style_dim, sp, policy=self.policy, name=f"style{i}")(feat)
-            )
-        w = jnp.stack(deltas, axis=1).astype(jnp.float32)  # (N, n_styles, 512)
+        n_coarse, n_middle, n_fine = self.head_group_sizes()
+        groups = []
+        for name, feat, n_heads in (
+            ("heads_coarse", c3, n_coarse),
+            ("heads_middle", p2, n_middle),
+            ("heads_fine", p1, n_fine),
+        ):
+            if n_heads == 0:
+                continue
+            vmapped = nn.vmap(
+                GradualStyleBlock,
+                in_axes=None,
+                out_axes=0,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                axis_size=n_heads,
+            )(self.style_dim, feat.shape[1], policy=self.policy, name=name)
+            groups.append(vmapped(feat))  # (n_heads, N, style_dim)
+        w = jnp.concatenate(groups, axis=0).transpose(1, 0, 2).astype(jnp.float32)
         # progressive: w_i = w_0 + delta_i  (inference = all stages active)
         w = w.at[:, 1:].add(w[:, :1])
         return w
