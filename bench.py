@@ -72,17 +72,21 @@ def main() -> int:
     log(f"pipeline built in {time.time() - t0:.1f}s")
 
     enc = pipeline.encode_fn()
-    enc_vars, factor = pipeline.enc_vars, pipeline.pool_factor
+    factor = pipeline.pool_factor
 
     imgs = jax.random.uniform(
         jax.random.key(1), (batch, size, size, 3), jnp.float32, -1, 1
     )
-    latent_org = jax.lax.stop_gradient(enc(enc_vars, avg_pool(imgs, factor)))
+    latent_org = jax.jit(lambda p, x: enc(p, avg_pool(x, factor)))(
+        pipeline.enc_vars, imgs
+    )
     jax.block_until_ready(latent_org)
 
-    def drift_loss(adv):
-        codes = enc(enc_vars, avg_pool(adv, factor))
-        return jnp.mean((codes - latent_org) ** 2)
+    # params + references as loss args (closure-captured params would embed
+    # hundreds of MB of constants into the compile request)
+    def drift_loss(adv, enc_params, ref_codes):
+        codes = enc(enc_params, avg_pool(adv, factor))
+        return jnp.mean((codes - ref_codes) ** 2)
 
     attack = make_pgd(
         drift_loss,
@@ -90,13 +94,16 @@ def main() -> int:
     )
 
     t0 = time.time()
-    adv, trace = attack(imgs, jax.random.key(2))
+    adv, trace = attack(imgs, jax.random.key(2), pipeline.enc_vars, latent_org)
     jax.block_until_ready(adv)
     log(f"pgd compile+warmup ({steps} steps) in {time.time() - t0:.1f}s")
 
     t0 = time.time()
     for c in range(calls):
-        adv, trace = attack(imgs, jax.random.fold_in(jax.random.key(3), c))
+        adv, trace = attack(
+            imgs, jax.random.fold_in(jax.random.key(3), c),
+            pipeline.enc_vars, latent_org,
+        )
     jax.block_until_ready(adv)
     dt = time.time() - t0
     steps_per_sec = steps * calls / dt

@@ -187,8 +187,10 @@ def make_patch_attack_step(pipeline: FusionPipeline, config: PatchConfig,
     enc = pipeline.encode_fn()
     dec = pipeline.decode_fn()
     vgg = pipeline.vgg_fn()
-    enc_vars, gen_vars, vgg_vars = (
-        pipeline.enc_vars, pipeline.drawer.gen_vars, pipeline.vgg_vars,
+    # params travel as jit arguments (closure-captured flax variables become
+    # giant HLO constants and break remote-compile services)
+    model_params = dict(
+        enc=pipeline.enc_vars, gen=pipeline.drawer.gen_vars, vgg=pipeline.vgg_vars,
     )
     factor = pipeline.pool_factor
     size = pipeline.image_size
@@ -203,27 +205,27 @@ def make_patch_attack_step(pipeline: FusionPipeline, config: PatchConfig,
         return jnp.mean(d * d)
 
     @jax.jit
-    def step(img, patch, key):
+    def step_impl(params, target, img, patch, key):
         canvas, mask, pos = transform(patch, size, key)
-        latent_org = jax.lax.stop_gradient(enc(enc_vars, avg_pool(img, factor)))
+        latent_org = jax.lax.stop_gradient(enc(params["enc"], avg_pool(img, factor)))
         if need_target:
-            r_t = avg_pool(target_img, factor)
-            latent_target = jax.lax.stop_gradient(enc(enc_vars, r_t))
-            feats_target = jax.lax.stop_gradient(vgg(vgg_vars, r_t))
+            r_t = avg_pool(target, factor)
+            latent_target = jax.lax.stop_gradient(enc(params["enc"], r_t))
+            feats_target = jax.lax.stop_gradient(vgg(params["vgg"], r_t))
 
         cmin, cmax = jnp.min(img), jnp.max(img)
 
         def loss_fn(canvas_):
             adv = (1.0 - mask) * img + mask * canvas_[None]
-            adv_latent = enc(enc_vars, avg_pool(adv, factor))
+            adv_latent = enc(params["enc"], avg_pool(adv, factor))
             loss = cfg.w_latent_org * mse(latent_org, adv_latent)
             if need_target:
                 loss = loss + cfg.w_latent_target * mse(latent_target, adv_latent)
                 if need_rec:
-                    rec = dec(gen_vars, adv_latent)
-                    loss = loss + cfg.w_img_rec_target * mse(target_img, rec)
+                    rec = dec(params["gen"], adv_latent)
+                    loss = loss + cfg.w_img_rec_target * mse(target, rec)
                     if cfg.w_lpips_rec_target != 0.0:
-                        feats_rec = vgg(vgg_vars, avg_pool(rec, factor))
+                        feats_rec = vgg(params["vgg"], avg_pool(rec, factor))
                         loss = loss + cfg.w_lpips_rec_target * perceptual_distance(
                             feats_rec, feats_target
                         )
@@ -241,6 +243,12 @@ def make_patch_attack_step(pipeline: FusionPipeline, config: PatchConfig,
         new_patch = extract_patch(canvas, pos, patch.shape[0])
         return new_patch, trace
 
+    tgt = target_img if need_target else jnp.zeros((1, size, size, 3))
+
+    def step(img, patch, key):
+        return step_impl(model_params, tgt, img, patch, key)
+
+    step.jitted = step_impl
     return step
 
 

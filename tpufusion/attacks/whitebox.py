@@ -19,9 +19,15 @@ post-hoc logging).  The encoder is evaluated once per step and reused for
 both the decoder input and the latent loss — the reference computes it twice
 (`attack_main2.py:619-622`), which is mathematically identical.
 
-Batch scaling: ``make_whitebox_attack`` returns a single-image attack;
-``vmap_whitebox`` maps it over a batch with per-image Adam states (the
-reference loops images sequentially, `attack_main2.py:465-498`).
+IMPORTANT (deployment-critical): model params are passed as jit ARGUMENTS,
+never captured in closures — captured flax variables get embedded as HLO
+constants, bloating the serialized module by hundreds of MB and breaking
+remote-compile services (observed here: HTTP 413 / broken pipes).
+
+Two execution shapes:
+- ``make_whitebox_attack``: whole loop as one ``lax.scan`` program;
+- ``make_whitebox_stepper``: one jitted step + async host loop (small
+  compile units for toolchains that choke on giant modules).
 """
 
 from __future__ import annotations
@@ -80,145 +86,148 @@ def default_n_iters(image_size: int) -> int:
     return 50 if image_size <= 256 else 100
 
 
-def make_whitebox_attack(pipeline: FusionPipeline, config: WhiteboxConfig):
-    """Build ``attack(img, target_img) -> (adv_img, trace)`` for one image
-    (shape (1, S, S, 3)); ``trace`` is a dict of per-iter loss terms.
-    """
-    w = config.weights
+def _mse(a, b):
+    d = a.astype(jnp.float32) - b.astype(jnp.float32)
+    return jnp.mean(d * d)
+
+
+def _model_params(pipeline: FusionPipeline) -> dict:
+    return dict(
+        enc=pipeline.enc_vars,
+        gen=pipeline.drawer.gen_vars,
+        vgg=pipeline.vgg_vars,
+    )
+
+
+def _make_loss(pipeline: FusionPipeline, weights: LossWeights):
+    """loss(params, x, ref) -> (total, terms); params are explicit args."""
     enc = pipeline.encode_fn()
     dec = pipeline.decode_fn()
     vgg = pipeline.vgg_fn()
-    enc_vars, gen_vars, vgg_vars = (
-        pipeline.enc_vars, pipeline.drawer.gen_vars, pipeline.vgg_vars,
-    )
     factor = pipeline.pool_factor
+    w = weights
 
-    def mse(a, b):
-        d = a.astype(jnp.float32) - b.astype(jnp.float32)
-        return jnp.mean(d * d)
-
-    @jax.jit
-    def attack(img, target_img):
-        img_org = img
-        r_org = avg_pool(img_org, factor)
-        r_target = avg_pool(target_img, factor)
-        latent_target = jax.lax.stop_gradient(enc(enc_vars, r_target))
-        latent_org = jax.lax.stop_gradient(enc(enc_vars, r_org))
-        feats_target = jax.lax.stop_gradient(vgg(vgg_vars, r_target))
-        feats_org = jax.lax.stop_gradient(vgg(vgg_vars, r_org))
-
-        def loss_fn(x):
-            r_x = avg_pool(x, factor)
-            latent_pred = enc(enc_vars, r_x)
-            img_rec = dec(gen_vars, latent_pred)
-            r_rec = avg_pool(img_rec, factor)
-            feats_rec = vgg(vgg_vars, r_rec)
-            feats_x = vgg(vgg_vars, r_x)
-
-            terms = dict(
-                latent_target=mse(latent_target, latent_pred),
-                latent_org=mse(latent_org, latent_pred),
-                img_rec_target=mse(target_img, img_rec),
-                img_rec_org=mse(img_org, img_rec),
-                img_org=mse(img_org, x),
-                lpips_img=perceptual_distance(feats_x, feats_org),
-                lpips_rec_target=perceptual_distance(feats_rec, feats_target),
-                lpips_rec_org=perceptual_distance(feats_rec, feats_org),
-            )
-            total = sum(
-                getattr(w, k) * v for k, v in terms.items() if getattr(w, k) != 0.0
-            )
-            return total, terms
-
-        opt = optax.adam(config.lr)
-
-        def step(carry, _):
-            x, opt_state = carry
-            (loss, terms), g = jax.value_and_grad(loss_fn, has_aux=True)(x)
-            updates, opt_state = opt.update(g, opt_state)
-            x = optax.apply_updates(x, updates)
-            terms["total"] = loss
-            return (x, opt_state), terms
-
-        (adv, _), trace = jax.lax.scan(
-            step, (img, opt.init(img)), None, length=config.n_iters
-        )
-        return adv, trace
-
-    return attack
-
-
-def make_whitebox_stepper(pipeline: FusionPipeline, config: WhiteboxConfig):
-    """Stepwise variant: ONE jitted optimisation step + a host loop.
-
-    The scanned variant compiles the whole ``n_iters`` loop into one program;
-    on deployments where the compile service struggles with very large
-    modules (remote-compile tunnels), this keeps the compiled unit small.
-    JAX dispatch is asynchronous, so the host loop still pipelines steps
-    back-to-back on device; only the final fetch blocks.
-
-    Returns ``(init, step)``: ``state = init(img, target)``,
-    ``state, terms = step(state)``; the adversarial image is ``state["x"]``.
-    """
-    w = config.weights
-    enc = pipeline.encode_fn()
-    dec = pipeline.decode_fn()
-    vgg = pipeline.vgg_fn()
-    enc_vars, gen_vars, vgg_vars = (
-        pipeline.enc_vars, pipeline.drawer.gen_vars, pipeline.vgg_vars,
-    )
-    factor = pipeline.pool_factor
-    opt = optax.adam(config.lr)
-
-    def mse(a, b):
-        d = a.astype(jnp.float32) - b.astype(jnp.float32)
-        return jnp.mean(d * d)
-
-    @jax.jit
-    def init(img, target_img):
-        r_org = avg_pool(img, factor)
-        r_t = avg_pool(target_img, factor)
-        return dict(
-            x=img, img_org=img, target=target_img,
-            latent_org=enc(enc_vars, r_org),
-            latent_target=enc(enc_vars, r_t),
-            feats_org=jax.tree.map(jax.lax.stop_gradient, vgg(vgg_vars, r_org)),
-            feats_target=jax.tree.map(jax.lax.stop_gradient, vgg(vgg_vars, r_t)),
-            opt_state=opt.init(img),
-        )
-
-    def loss_fn(x, st):
+    def loss_fn(params, x, ref):
         r_x = avg_pool(x, factor)
-        latent_pred = enc(enc_vars, r_x)
-        img_rec = dec(gen_vars, latent_pred)
+        latent_pred = enc(params["enc"], r_x)
+        img_rec = dec(params["gen"], latent_pred)
         r_rec = avg_pool(img_rec, factor)
-        feats_rec = vgg(vgg_vars, r_rec)
-        feats_x = vgg(vgg_vars, r_x)
+        feats_rec = vgg(params["vgg"], r_rec)
+        feats_x = vgg(params["vgg"], r_x)
         terms = dict(
-            latent_target=mse(st["latent_target"], latent_pred),
-            latent_org=mse(st["latent_org"], latent_pred),
-            img_rec_target=mse(st["target"], img_rec),
-            img_rec_org=mse(st["img_org"], img_rec),
-            img_org=mse(st["img_org"], x),
-            lpips_img=perceptual_distance(feats_x, st["feats_org"]),
-            lpips_rec_target=perceptual_distance(feats_rec, st["feats_target"]),
-            lpips_rec_org=perceptual_distance(feats_rec, st["feats_org"]),
+            latent_target=_mse(ref["latent_target"], latent_pred),
+            latent_org=_mse(ref["latent_org"], latent_pred),
+            img_rec_target=_mse(ref["target"], img_rec),
+            img_rec_org=_mse(ref["img_org"], img_rec),
+            img_org=_mse(ref["img_org"], x),
+            lpips_img=perceptual_distance(feats_x, ref["feats_org"]),
+            lpips_rec_target=perceptual_distance(feats_rec, ref["feats_target"]),
+            lpips_rec_org=perceptual_distance(feats_rec, ref["feats_org"]),
         )
         total = sum(
             getattr(w, k) * v for k, v in terms.items() if getattr(w, k) != 0.0
         )
         return total, terms
 
+    return loss_fn
+
+
+def _make_ref(pipeline: FusionPipeline):
+    """Precompute the stop-gradient reference bundle (target/org latents +
+    VGG taps — `attack_main2.py:596-603`)."""
+    enc = pipeline.encode_fn()
+    vgg = pipeline.vgg_fn()
+    factor = pipeline.pool_factor
+
+    def ref_fn(params, img, target_img):
+        r_org = avg_pool(img, factor)
+        r_t = avg_pool(target_img, factor)
+        return jax.lax.stop_gradient(dict(
+            img_org=img,
+            target=target_img,
+            latent_org=enc(params["enc"], r_org),
+            latent_target=enc(params["enc"], r_t),
+            feats_org=vgg(params["vgg"], r_org),
+            feats_target=vgg(params["vgg"], r_t),
+        ))
+
+    return ref_fn
+
+
+def make_whitebox_attack(pipeline: FusionPipeline, config: WhiteboxConfig):
+    """Build ``attack(img, target_img) -> (adv_img, trace)``; works on a
+    (1, S, S, 3) image or a naturally-batched (B, S, S, 3) batch (batched
+    means average the loss terms over the batch; use ``vmap_whitebox`` for
+    strictly per-image trajectories).  ``trace`` is a dict of per-iter loss
+    terms."""
+    loss_fn = _make_loss(pipeline, config.weights)
+    ref_fn = _make_ref(pipeline)
+    opt = optax.adam(config.lr)
+    n_iters = config.n_iters
+
     @jax.jit
-    def step(state):
-        (loss, terms), g = jax.value_and_grad(loss_fn, has_aux=True)(
-            state["x"], state
+    def attack_impl(params, img, target_img):
+        ref = ref_fn(params, img, target_img)
+
+        def step(carry, _):
+            x, opt_state = carry
+            (loss, terms), g = jax.value_and_grad(loss_fn, argnums=1, has_aux=True)(
+                params, x, ref
+            )
+            updates, opt_state = opt.update(g, opt_state)
+            x = optax.apply_updates(x, updates)
+            terms["total"] = loss
+            return (x, opt_state), terms
+
+        (adv, _), trace = jax.lax.scan(
+            step, (img, opt.init(img)), None, length=n_iters
+        )
+        return adv, trace
+
+    params = _model_params(pipeline)
+
+    def attack(img, target_img):
+        return attack_impl(params, img, target_img)
+
+    attack.jitted = attack_impl
+    return attack
+
+
+def make_whitebox_stepper(pipeline: FusionPipeline, config: WhiteboxConfig):
+    """Stepwise variant: ONE jitted optimisation step + a host loop.
+
+    JAX dispatch is asynchronous, so the host loop still pipelines steps
+    back-to-back on device; only the final fetch blocks.
+
+    Returns ``(init, step)``: ``state = init(img, target)``,
+    ``state, terms = step(state)``; the adversarial image is ``state["x"]``.
+    """
+    loss_fn = _make_loss(pipeline, config.weights)
+    ref_fn = _make_ref(pipeline)
+    opt = optax.adam(config.lr)
+
+    @jax.jit
+    def init_impl(params, img, target_img):
+        return dict(
+            x=img,
+            ref=ref_fn(params, img, target_img),
+            opt_state=opt.init(img),
+        )
+
+    @jax.jit
+    def step_impl(params, state):
+        (loss, terms), g = jax.value_and_grad(loss_fn, argnums=1, has_aux=True)(
+            params, state["x"], state["ref"]
         )
         updates, opt_state = opt.update(g, state["opt_state"])
         x = optax.apply_updates(state["x"], updates)
         terms["total"] = loss
         return dict(state, x=x, opt_state=opt_state), terms
 
+    params = _model_params(pipeline)
+    init = lambda img, target: init_impl(params, img, target)
+    step = lambda state: step_impl(params, state)
+    init.jitted, step.jitted = init_impl, step_impl
     return init, step
 
 
@@ -242,19 +251,24 @@ def vmap_whitebox(pipeline: FusionPipeline, config: WhiteboxConfig):
     ``targets`` either (1,...) broadcast (white_box_target) or per-image
     (white_box_patch) — `attack_main2.py:472-482`."""
     single = make_whitebox_attack(pipeline, config)
+    params = _model_params(pipeline)
 
-    def one(img, target):
-        return single(img[None], target[None])
-
-    batched = jax.vmap(one)
+    batched = jax.vmap(
+        lambda p, img, tgt: single.jitted(p, img[None], tgt[None]),
+        in_axes=(None, 0, 0),
+    )
 
     @jax.jit
-    def attack(imgs, targets):
+    def attack_impl(p, imgs, targets):
         if targets.shape[0] == 1:
             targets = jnp.broadcast_to(targets, imgs.shape)
-        advs, traces = batched(imgs, targets)
+        advs, traces = batched(p, imgs, targets)
         return advs[:, 0], traces
 
+    def attack(imgs, targets):
+        return attack_impl(params, imgs, targets)
+
+    attack.jitted = attack_impl
     return attack
 
 

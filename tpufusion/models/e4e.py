@@ -132,19 +132,40 @@ class GradualStyleBlock(nn.Module):
         return EqualLinear(self.out_dim, policy=self.policy, name="linear")(x)
 
 
+def _interp_matrix(n_in: int, n_out: int) -> jnp.ndarray:
+    """Dense 1D bilinear interpolation matrix, torch align_corners=True
+    convention: out position o samples input coordinate o*(n_in-1)/(n_out-1)."""
+    import numpy as np
+
+    m = np.zeros((n_out, n_in), np.float32)
+    if n_in == 1:
+        m[:, 0] = 1.0
+        return jnp.asarray(m)
+    pos = np.arange(n_out) * (n_in - 1) / (n_out - 1)
+    i0 = np.clip(np.floor(pos).astype(int), 0, n_in - 2)
+    frac = pos - i0
+    m[np.arange(n_out), i0] = 1.0 - frac
+    m[np.arange(n_out), i0 + 1] = frac
+    return jnp.asarray(m)
+
+
 def _upsample_add(x, y):
-    """Bilinear (align_corners) upsample of x to y's spatial dims, + y."""
+    """Bilinear (align_corners=True) upsample of x to y's spatial dims, + y.
+
+    Implemented as two small dense interpolation-matrix contractions
+    (einsum over the spatial axes) instead of ``jax.image`` resampling: the
+    matrices are static, the op maps straight onto the MXU, and the backward
+    pass is just the transposed matmuls — ``scale_and_translate``'s VJP was
+    found to be pathologically slow to compile on the TPU toolchain here.
+    """
     n, h, w, c = y.shape
-    # jax.image.resize has no align_corners; use scale_and_translate to match
-    # torch align_corners=True: scale = (out-1)/(in-1), translation 0.
     in_h, in_w = x.shape[1], x.shape[2]
     if (in_h, in_w) == (h, w):
         return x + y
-    scale = jnp.array([(h - 1) / (in_h - 1), (w - 1) / (in_w - 1)], jnp.float32)
-    up = jax.image.scale_and_translate(
-        x.astype(jnp.float32), (n, h, w, c), (1, 2), scale,
-        jnp.zeros(2, jnp.float32), method="linear",
-    )
+    mh = _interp_matrix(in_h, h).astype(jnp.float32)
+    mw = _interp_matrix(in_w, w).astype(jnp.float32)
+    up = jnp.einsum("oi,nijc->nojc", mh, x.astype(jnp.float32))
+    up = jnp.einsum("pj,nojc->nopc", mw, up)
     return up.astype(y.dtype) + y
 
 

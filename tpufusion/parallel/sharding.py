@@ -93,8 +93,10 @@ def make_sharded_whitebox_step(pipeline, config, mesh: Mesh):
     enc = pipeline.encode_fn()
     dec = pipeline.decode_fn()
     vgg = pipeline.vgg_fn()
-    enc_vars, gen_vars, vgg_vars = (
-        pipeline.enc_vars, pipeline.drawer.gen_vars, pipeline.vgg_vars,
+    # model params are jit ARGUMENTS (never closure constants — captured flax
+    # variables bloat the lowered HLO by the full param bytes)
+    model_params = dict(
+        enc=pipeline.enc_vars, gen=pipeline.drawer.gen_vars, vgg=pipeline.vgg_vars,
     )
     factor = pipeline.pool_factor
     opt = optax.adam(config.lr)
@@ -103,11 +105,11 @@ def make_sharded_whitebox_step(pipeline, config, mesh: Mesh):
         d = a.astype(jnp.float32) - b.astype(jnp.float32)  # per-image Adam up
         return jnp.mean(d * d, axis=tuple(range(1, a.ndim)))  # to lr scaling
 
-    def loss_fn(x, img_org, target_img, latent_org, latent_target, feats_org):
+    def loss_fn(params, x, img_org, target_img, latent_org, latent_target, feats_org):
         r_x = avg_pool(x, factor)
-        latent_pred = enc(enc_vars, r_x)
-        img_rec = dec(gen_vars, latent_pred)
-        feats_x = vgg(vgg_vars, r_x)
+        latent_pred = enc(params["enc"], r_x)
+        img_rec = dec(params["gen"], latent_pred)
+        feats_x = vgg(params["vgg"], r_x)
         per = (
             w.latent_target * mse_b(latent_target, latent_pred)
             + w.latent_org * mse_b(latent_org, latent_pred)
@@ -122,30 +124,34 @@ def make_sharded_whitebox_step(pipeline, config, mesh: Mesh):
     bspec = lambda nd: NamedSharding(mesh, P("data", *([None] * (nd - 1))))
 
     @jax.jit
-    def init(imgs, targets):
+    def init_impl(params, imgs, targets):
         r_org = avg_pool(imgs, factor)
         r_t = avg_pool(targets, factor)
         return dict(
             x=imgs,
             img_org=imgs,
             target=targets,
-            latent_org=enc(enc_vars, r_org),
-            latent_target=enc(enc_vars, r_t),
-            feats_org=vgg(vgg_vars, r_org),
+            latent_org=enc(params["enc"], r_org),
+            latent_target=enc(params["enc"], r_t),
+            feats_org=vgg(params["vgg"], r_org),
             opt_state=opt.init(imgs),
         )
 
     @jax.jit
-    def step(state):
+    def step_impl(params, state):
         x = state["x"]
-        loss, g = jax.value_and_grad(loss_fn)(
-            x, state["img_org"], state["target"], state["latent_org"],
+        loss, g = jax.value_and_grad(loss_fn, argnums=1)(
+            params, x, state["img_org"], state["target"], state["latent_org"],
             state["latent_target"], state["feats_org"],
         )
         updates, opt_state = opt.update(g, state["opt_state"])
         x = optax.apply_updates(x, updates)
         new_state = dict(state, x=x, opt_state=opt_state)
         return new_state, loss
+
+    init = lambda imgs, targets: init_impl(model_params, imgs, targets)
+    step = lambda state: step_impl(model_params, state)
+    init.jitted, step.jitted = init_impl, step_impl
 
     def place_batch(imgs, targets):
         imgs = jax.device_put(imgs, bspec(imgs.ndim))

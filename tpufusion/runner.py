@@ -108,22 +108,23 @@ def dispatch_attack(
         return [adv]
 
     if attack in ("pgd", "fgsm"):
-        # encoder-drift objective: push codes away from the originals
+        # encoder-drift objective: push codes away from the originals;
+        # params/references pass as loss args (not closure constants)
         latent_org = jax.lax.stop_gradient(pipeline.encode(inputs))
         enc = pipeline.encode_fn()
-        enc_vars, factor = pipeline.enc_vars, pipeline.pool_factor
+        factor = pipeline.pool_factor
         from tpufusion.core.imaging import avg_pool
 
-        def loss(adv):
-            codes = enc(enc_vars, avg_pool(adv, factor))
-            return jnp.mean((codes - latent_org) ** 2)
+        def loss(adv, enc_params, ref_codes):
+            codes = enc(enc_params, avg_pool(adv, factor))
+            return jnp.mean((codes - ref_codes) ** 2)
 
         steps = 1 if attack == "fgsm" else cfg.pgd_steps
         pcfg = PGDConfig(
             eps=cfg.pgd_eps * 2.0,  # [-1,1] range is 2x the [0,1] recipe
             alpha=cfg.pgd_alpha, steps=steps, random_start=(attack == "pgd"),
         )
-        adv, _ = make_pgd(loss, pcfg)(inputs, key)
+        adv, _ = make_pgd(loss, pcfg)(inputs, key, pipeline.enc_vars, latent_org)
         return [adv]
 
     if attack == "adv_generate":
