@@ -93,22 +93,24 @@ def main() -> int:
         PGDConfig(eps=16 / 255, alpha=0.01, steps=steps, random_start=True),
     )
 
+    # NB: on the tunnel backend block_until_ready does not synchronize —
+    # a scalar value fetch is the only reliable barrier.
     t0 = time.time()
     adv, trace = attack(imgs, jax.random.key(2), pipeline.enc_vars, latent_org)
-    jax.block_until_ready(adv)
+    _ = float(trace[-1])
     log(f"pgd compile+warmup ({steps} steps) in {time.time() - t0:.1f}s")
 
     t0 = time.time()
+    drift = 0.0
     for c in range(calls):
         adv, trace = attack(
             imgs, jax.random.fold_in(jax.random.key(3), c),
             pipeline.enc_vars, latent_org,
         )
-    jax.block_until_ready(adv)
+    drift = float(trace[-1])  # hard device fetch: forces all queued calls
     dt = time.time() - t0
     steps_per_sec = steps * calls / dt
-    log(f"pgd: {calls}x{steps} steps in {dt:.2f}s "
-        f"(final drift {float(trace[-1]):.5f})")
+    log(f"pgd: {calls}x{steps} steps in {dt:.2f}s (final drift {drift:.5f})")
 
     if os.environ.get("BENCH_WHITEBOX", "0") == "1":
         from tpufusion.attacks.whitebox import (
@@ -124,12 +126,12 @@ def main() -> int:
             imgs.shape,
         )
         t0 = time.time()
-        wadv, _ = wattack(imgs, targets)
-        jax.block_until_ready(wadv)
+        wadv, wtrace = wattack(imgs, targets)
+        _ = float(wtrace["total"][-1])
         log(f"whitebox compile+warmup ({wcfg.n_iters} steps) in {time.time() - t0:.1f}s")
         t0 = time.time()
-        wadv, _ = wattack(imgs, targets)
-        jax.block_until_ready(wadv)
+        wadv, wtrace = wattack(imgs, targets)
+        _ = float(wtrace["total"][-1])
         wdt = time.time() - t0
         log(f"whitebox: {wcfg.n_iters} steps in {wdt:.2f}s -> "
             f"{wcfg.n_iters / wdt:.2f} steps/sec (enc+dec+vgg backward)")
