@@ -77,40 +77,79 @@ def main() -> int:
     imgs = jax.random.uniform(
         jax.random.key(1), (batch, size, size, 3), jnp.float32, -1, 1
     )
-    latent_org = jax.jit(lambda p, x: enc(p, avg_pool(x, factor)))(
-        pipeline.enc_vars, imgs
-    )
-    jax.block_until_ready(latent_org)
 
-    # params + references as loss args (closure-captured params would embed
-    # hundreds of MB of constants into the compile request)
-    def drift_loss(adv, enc_params, ref_codes):
-        codes = enc(enc_params, avg_pool(adv, factor))
-        return jnp.mean((codes - ref_codes) ** 2)
+    # ---- primary: the reference's PGD recipe (`interpolation.py:1343`) —
+    # classifier-gradient PGD against the resnet18 gender model, on full
+    # 1024^2 fusion inputs (resized to the classifier's 256^2 inside the
+    # differentiated graph, as the reference's transforms do).
+    from tpufusion.models.resnet import create_resnet18
+
+    clf_size = min(size, 256)
+    clf_factor = max(size // clf_size, 1)
+    clf, clf_vars = create_resnet18(
+        jax.random.key(5), num_classes=2,
+        image_size=clf_size, policy=pipeline.policy,
+    )
+    labels = jax.jit(
+        lambda v, x: jnp.argmax(clf.apply(v, avg_pool(x, clf_factor)), -1)
+    )(clf_vars, imgs)
+
+    # params + labels as loss args (closure-captured params would embed
+    # the model as constants into the compile request)
+    def ce_loss(adv, clf_params, labels_):
+        logits = clf.apply(clf_params, avg_pool(adv, clf_factor))
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32))
+        return -jnp.mean(jnp.take_along_axis(logp, labels_[:, None], axis=-1))
 
     attack = make_pgd(
-        drift_loss,
+        ce_loss,
         PGDConfig(eps=16 / 255, alpha=0.01, steps=steps, random_start=True),
     )
 
     # NB: on the tunnel backend block_until_ready does not synchronize —
     # a scalar value fetch is the only reliable barrier.
     t0 = time.time()
-    adv, trace = attack(imgs, jax.random.key(2), pipeline.enc_vars, latent_org)
+    adv, trace = attack(imgs, jax.random.key(2), clf_vars, labels)
     _ = float(trace[-1])
     log(f"pgd compile+warmup ({steps} steps) in {time.time() - t0:.1f}s")
 
     t0 = time.time()
-    drift = 0.0
     for c in range(calls):
         adv, trace = attack(
-            imgs, jax.random.fold_in(jax.random.key(3), c),
-            pipeline.enc_vars, latent_org,
+            imgs, jax.random.fold_in(jax.random.key(3), c), clf_vars, labels,
         )
-    drift = float(trace[-1])  # hard device fetch: forces all queued calls
+    ce = float(trace[-1])  # hard device fetch: forces all queued calls
     dt = time.time() - t0
     steps_per_sec = steps * calls / dt
-    log(f"pgd: {calls}x{steps} steps in {dt:.2f}s (final drift {drift:.5f})")
+    flipped = int(jnp.sum(
+        jnp.argmax(clf.apply(clf_vars, avg_pool(adv, clf_factor)), -1) != labels
+    ))
+    log(f"pgd: {calls}x{steps} steps in {dt:.2f}s "
+        f"(final CE {ce:.4f}, {flipped}/{batch} flipped)")
+
+    # ---- secondary: encoder-latent-drift PGD (the framework's own 'pgd'
+    # attack objective) — the full e4e-50 backward per step.
+    latent_org = jax.jit(lambda p, x: enc(p, avg_pool(x, factor)))(
+        pipeline.enc_vars, imgs
+    )
+
+    def drift_loss(adv, enc_params, ref_codes):
+        codes = enc(enc_params, avg_pool(adv, factor))
+        return jnp.mean((codes - ref_codes) ** 2)
+
+    drift_steps = max(steps // 4, 1)
+    dattack = make_pgd(
+        drift_loss,
+        PGDConfig(eps=16 / 255, alpha=0.01, steps=drift_steps, random_start=True),
+    )
+    adv2, dtrace = dattack(imgs, jax.random.key(6), pipeline.enc_vars, latent_org)
+    _ = float(dtrace[-1])  # warm/compile
+    t0 = time.time()
+    adv2, dtrace = dattack(imgs, jax.random.key(7), pipeline.enc_vars, latent_org)
+    _ = float(dtrace[-1])
+    ddt = time.time() - t0
+    log(f"encoder-drift pgd: {drift_steps} steps in {ddt:.2f}s -> "
+        f"{drift_steps / ddt:.2f} steps/sec (full e4e-50 backward)")
 
     if os.environ.get("BENCH_WHITEBOX", "0") == "1":
         from tpufusion.attacks.whitebox import (

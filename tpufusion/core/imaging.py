@@ -8,6 +8,8 @@ so we use it end-to-end and only convert at the file-I/O boundary.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -24,20 +26,28 @@ def avg_pool(x: jax.Array, factor: int) -> jax.Array:
     (`attack_main2.py:590-591`) used to shrink generator-resolution images to
     the 256x256 encoder/VGG input.  ``factor == 1`` is the identity.
 
-    Implemented as a depthwise strided conv with a constant mean kernel —
-    the reshape+mean formulation lowers to transpose-heavy code on TPU
-    (~40 GB/s effective inside the attack step), while conv and its adjoint
-    (a dilated conv) are native windowed ops with clean VJPs.
+    Implemented as two dense pooling-matrix contractions (einsum over each
+    spatial axis) — on v5e this runs the pool + its VJP on the MXU at
+    0.63 ms/iter for batch-8 1024^2, vs 12.7 ms for reshape+mean and
+    10.4 ms for a depthwise strided conv (whose 3-channel grouped transposed
+    conv backward wastes 125/128 lanes).
     """
     if factor == 1:
         return x
-    c = x.shape[-1]
-    k = jnp.full((factor, factor, 1, c), 1.0 / (factor * factor), x.dtype)
-    return jax.lax.conv_general_dilated(
-        x, k, (factor, factor), "VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=c,
-    )
+    n, h, w, c = x.shape
+    mh = _pool_matrix(h, factor)
+    mw = _pool_matrix(w, factor)
+    y = jnp.einsum("oi,nijc->nojc", mh.astype(x.dtype), x)
+    return jnp.einsum("pj,nojc->nopc", mw.astype(x.dtype), y)
+
+
+@functools.lru_cache(maxsize=None)
+def _pool_matrix(n_in: int, factor: int) -> np.ndarray:
+    # cached as NUMPY (a cached jnp array would leak tracers across jits)
+    m = np.zeros((n_in // factor, n_in), np.float32)
+    for o in range(n_in // factor):
+        m[o, o * factor : (o + 1) * factor] = 1.0 / factor
+    return m
 
 
 def resize_bilinear(x: jax.Array, height: int, width: int) -> jax.Array:
