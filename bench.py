@@ -152,28 +152,32 @@ def main() -> int:
         f"{drift_steps / ddt:.2f} steps/sec (full e4e-50 backward)")
 
     if os.environ.get("BENCH_WHITEBOX", "0") == "1":
+        # stepwise executor: the scanned whole-loop program trips this
+        # deployment's AOT compile helper; one-step programs compile in ~25 s
         from tpufusion.attacks.whitebox import (
-            PRESET_ATTACK_MAIN, WhiteboxConfig, make_whitebox_attack,
+            PRESET_ATTACK_MAIN, WhiteboxConfig, make_whitebox_stepper,
         )
 
-        wcfg = WhiteboxConfig(lr=1e-3, n_iters=max(steps // 10, 1),
-                              weights=PRESET_ATTACK_MAIN)
-        wattack = make_whitebox_attack(pipeline, wcfg)
+        wcfg = WhiteboxConfig(lr=1e-3, n_iters=1, weights=PRESET_ATTACK_MAIN)
+        winit, wstep = make_whitebox_stepper(pipeline, wcfg)
         targets = jnp.broadcast_to(
             jax.random.uniform(jax.random.key(4), (1, size, size, 3),
                                jnp.float32, -1, 1),
             imgs.shape,
         )
         t0 = time.time()
-        wadv, wtrace = wattack(imgs, targets)
-        _ = float(wtrace["total"][-1])
-        log(f"whitebox compile+warmup ({wcfg.n_iters} steps) in {time.time() - t0:.1f}s")
+        state = winit(imgs, targets)
+        state, terms = wstep(state)
+        _ = float(terms["total"])
+        log(f"whitebox compile+warmup in {time.time() - t0:.1f}s")
+        n_wsteps = max(steps // 4, 1)
         t0 = time.time()
-        wadv, wtrace = wattack(imgs, targets)
-        _ = float(wtrace["total"][-1])
+        for _ in range(n_wsteps):
+            state, terms = wstep(state)
+        _ = float(terms["total"])
         wdt = time.time() - t0
-        log(f"whitebox: {wcfg.n_iters} steps in {wdt:.2f}s -> "
-            f"{wcfg.n_iters / wdt:.2f} steps/sec (enc+dec+vgg backward)")
+        log(f"whitebox: {n_wsteps} steps in {wdt:.2f}s -> "
+            f"{n_wsteps / wdt:.2f} steps/sec (enc+dec+vgg backward)")
 
     print(json.dumps({
         "metric": f"PGD attack steps/sec, batch-{batch}, {size}^2 fusion inputs",

@@ -6,6 +6,7 @@ from tpufusion.models.fusion_hierarchy import (
     get_all_active_parts,
     TREES,
 )
+from tpufusion.models.resnet import ResNet, convert_resnet18_checkpoint, create_resnet18
 from tpufusion.models.discriminator import (
     Discriminator,
     create_discriminator,
