@@ -136,3 +136,49 @@ class TestCLI:
         assert rc == 0
         assert (tmp_path / "inv" / "latents.npz").exists()
         assert (tmp_path / "inv" / "inversions" / "00001.jpg").exists()
+
+
+class TestAdvGenerate:
+    def test_loads_npz_artifact(self, pipeline, batch, tmp_path):
+        import numpy as _np
+
+        from tpufusion.configs import AttackRunConfig, PathsConfig
+        from tpufusion.io import ArtifactStore
+
+        inputs, target = batch
+        store = ArtifactStore(str(tmp_path))
+        adv_saved = _np.asarray(inputs) + 0.1
+        store.append("all_adv_inputs", adv_saved)
+        paths = store.flush()
+        cfg = AttackRunConfig(
+            dataset_name="church",
+            paths=PathsConfig(adv_inputs_path=paths["all_adv_inputs"]),
+        )
+        (adv,) = dispatch_attack(pipeline, "adv_generate", inputs, target, cfg,
+                                 jax.random.key(0))
+        np.testing.assert_allclose(np.asarray(adv), adv_saved, atol=1e-6)
+
+    def test_loads_montage_crops(self, pipeline, batch, tmp_path):
+        from tpufusion.configs import AttackRunConfig, PathsConfig
+        from tpufusion.io import save_montage
+
+        inputs, target = batch
+        p = save_montage(inputs, str(tmp_path / "adv.png"), nrow=inputs.shape[0])
+        cfg = AttackRunConfig(
+            dataset_name="church", paths=PathsConfig(adv_inputs_path=p),
+        )
+        (adv,) = dispatch_attack(pipeline, "adv_generate", inputs, target, cfg,
+                                 jax.random.key(0))
+        assert adv.shape == inputs.shape
+        # 8-bit roundtrip tolerance
+        np.testing.assert_allclose(
+            np.asarray(adv), np.clip(np.asarray(inputs), -1, 1), atol=2 / 255 + 1e-3
+        )
+
+    def test_missing_path_raises(self, pipeline, batch):
+        from tpufusion.configs import AttackRunConfig
+
+        inputs, target = batch
+        with pytest.raises(ValueError):
+            dispatch_attack(pipeline, "adv_generate", inputs, target,
+                            AttackRunConfig(dataset_name="church"), jax.random.key(0))
