@@ -65,8 +65,9 @@ def main() -> int:
     if tiny:
         pipeline = create_test_pipeline("ffhq", jax.random.key(0), size=size)
     else:
+        remat = os.environ.get("BENCH_REMAT", "0") == "1"
         pipeline = FusionPipeline.create(
-            "ffhq", jax.random.key(0), size=size, remat=True,
+            "ffhq", jax.random.key(0), size=size, remat=remat,
             mean_latent_samples=256,
         )
     log(f"pipeline built in {time.time() - t0:.1f}s")

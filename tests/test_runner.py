@@ -182,3 +182,47 @@ class TestAdvGenerate:
         with pytest.raises(ValueError):
             dispatch_attack(pipeline, "adv_generate", inputs, target,
                             AttackRunConfig(dataset_name="church"), jax.random.key(0))
+
+
+class TestResumePaths:
+    def test_hybrid_from_existing_dirs(self, pipeline, batch, tmp_path):
+        """Prior runs' all_adv_inputs.npz artifacts splice into one fusion."""
+        import numpy as _np
+
+        from tpufusion.configs import AttackRunConfig
+        from tpufusion.io import ArtifactStore, new_run_folder
+        from tpufusion.runner import run_hybrid_from_dirs
+
+        inputs, _ = batch
+        for i, name in enumerate(["0_church_dp_noise", "1_church_pgd"]):
+            store = ArtifactStore(str(tmp_path / name / "adversarial"))
+            store.append("all_adv_inputs", _np.asarray(inputs) + 0.1 * (i + 1))
+            store.flush()
+        cfg = AttackRunConfig(dataset_name="church")
+        result = run_hybrid_from_dirs(
+            pipeline, cfg, str(tmp_path), ["0_church_dp_noise", "1_church_pgd"],
+            save_root=str(tmp_path),
+        )
+        assert result["inputs"].shape == inputs.shape
+        assert result["counts"] == [2, 1]
+        assert result["fused"].shape[-3:] == (32, 32, 3)
+        hybrid_dirs = [d for d in os.listdir(tmp_path) if "hybrid" in d]
+        assert hybrid_dirs
+        assert (tmp_path / hybrid_dirs[0] / "hybrid_fusion.jpg").exists()
+
+    def test_attack_run_cli_with_existing_inputs(self, tmp_path):
+        import numpy as _np
+
+        from tpufusion.cli.attack_run import main
+        from tpufusion.io import ArtifactStore
+
+        store = ArtifactStore(str(tmp_path))
+        store.append("all_inputs", _np.random.RandomState(0)
+                     .uniform(-1, 1, (3, 32, 32, 3)).astype(_np.float32))
+        paths = store.flush()
+        rc = main([
+            "--dataset", "church", "--tiny", "--size", "32",
+            "--attacks", "dp_noise", "--save_dir", str(tmp_path / "runs"),
+            "--inputs_path", paths["all_inputs"],
+        ])
+        assert rc == 0

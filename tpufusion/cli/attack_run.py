@@ -43,6 +43,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--train_size", type=int, default=2000)
     p.add_argument("--test_size", type=int, default=1000)
     p.add_argument("--hybrid_adv", action="store_true")
+    p.add_argument("--hybrid_from_dirs", nargs="*", default=None,
+                   help="existing attack run dirs (under save_dir/dataset) to "
+                        "splice a hybrid batch from (--hybrid_adv_from_existing)")
+    p.add_argument("--inputs_path", default=None,
+                   help="reuse saved fusion inputs: all_inputs.npz artifact or "
+                        "montage image (use_existing_data)")
+    p.add_argument("--adv_inputs_path", default=None,
+                   help="precomputed adversarial inputs for adv_generate")
     p.add_argument("--stylegan_ckpt", default=None)
     p.add_argument("--e4e_ckpt", default=None)
     p.add_argument("--vgg_ckpt", default=None)
@@ -74,11 +82,15 @@ def main(argv=None) -> int:
         train_size=args.train_size, test_size=args.test_size,
         hybrid_adv=args.hybrid_adv, save_img=not args.no_save_img,
         image_size=args.size,
+        hybrid_adv_from_existing=bool(args.hybrid_from_dirs),
+        hybrid_adv_dirs=tuple(args.hybrid_from_dirs or ()),
+        use_existing_data=bool(args.inputs_path),
         paths=PathsConfig(
             images_dir=args.images_dir, save_dir=args.save_dir,
             stylegan_ckpt=args.stylegan_ckpt, e4e_ckpt=args.e4e_ckpt,
             vgg_ckpt=args.vgg_ckpt, fusion_weights=args.fusion_weights,
             target_image=args.target_image,
+            adv_inputs_path=args.adv_inputs_path,
         ),
     )
 
@@ -99,7 +111,26 @@ def main(argv=None) -> int:
           f"(generator {pipeline.image_size}^2)")
 
     n = cfg.n_inputs
-    if args.images_dir:
+
+    # hybrid-from-existing: no new attacks, just splice prior runs and fuse
+    # (reference clears adversarial_choose in this mode, `attack_main2.py:949-950`)
+    if args.hybrid_from_dirs:
+        from tpufusion.runner import run_hybrid_from_dirs
+
+        result = run_hybrid_from_dirs(
+            pipeline, cfg, dataset_dir, args.hybrid_from_dirs,
+            save_root=dataset_dir,
+        )
+        print(f"[attack_run] hybrid splice from {len(args.hybrid_from_dirs)} "
+              f"runs (counts {result['counts']}); artifacts under {dataset_dir}")
+        return 0
+
+    if args.inputs_path:
+        from tpufusion.runner import load_existing_inputs
+
+        inputs = load_existing_inputs(args.inputs_path, n, pipeline.image_size)
+        print(f"[attack_run] reusing saved inputs from {args.inputs_path}")
+    elif args.images_dir:
         ds = ImageFolderDataset(args.images_dir, transform=transform_for(args.dataset))
         _, test_loader = setup_loaders(
             ds, train_size=min(cfg.train_size, max(len(ds) - n, 0)),

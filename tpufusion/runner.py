@@ -38,6 +38,38 @@ from tpufusion.io import ArtifactStore, new_adv_dir, new_run_folder, save_image,
 from tpufusion.pipeline import FusionPipeline
 
 
+def run_hybrid_from_dirs(pipeline: FusionPipeline, cfg: AttackRunConfig,
+                         dataset_savedir: str, attack_dirs, save_root=None):
+    """Hybrid attack from EXISTING run dirs (`attack_main2.py:1124-1151`,
+    ``--hybrid_adv_from_existing``): load each dir's persisted
+    ``adversarial/all_adv_inputs.npz``, splice slot-aligned rows, fuse."""
+    n = cfg.n_inputs
+    batches = []
+    for d in attack_dirs:
+        path = os.path.join(dataset_savedir, d, "adversarial", "all_adv_inputs.npz")
+        batches.append(jnp.asarray(ArtifactStore.load(path)))
+    hybrid, counts = splice_hybrid(batches, n)
+    latents = pipeline.get_latents(hybrid)
+    fused, singles, features = benign_fusion(pipeline.drawer, latents, "spatial")
+    if save_root:
+        hdir = new_adv_dir(save_root, f"{cfg.dataset_name}_hybrid_attack")
+        write_parameters(hdir, {"dataset": cfg.dataset_name,
+                                **{f"attacks {i}": d for i, d in enumerate(attack_dirs)}},
+                         filename="hybrid_param.txt")
+        save_montage(hybrid, os.path.join(hdir, "hybrid_fusion_inputs.jpg"), nrow=n)
+        save_image(fused, os.path.join(hdir, "hybrid_fusion.jpg"))
+    return dict(inputs=hybrid, fused=fused, singles=singles, counts=counts)
+
+
+def load_existing_inputs(path: str, n: int, size: int) -> jax.Array:
+    """``use_existing_data`` (`interpolation.py:1274-1313`): reuse previously
+    saved fusion inputs — an ``all_inputs.npz`` artifact or panel crops of a
+    saved montage image."""
+    from tpufusion.data.adv_inputs import load_adv_inputs
+
+    return jnp.asarray(load_adv_inputs(path, n, size))
+
+
 def generate_inputs(pipeline: FusionPipeline, n_imgs: int, key) -> jax.Array:
     """``generate_images`` (`attack_main2.py:509-518`): sample z per input and
     synthesise — the data-free path (``--use_generate_img``)."""
