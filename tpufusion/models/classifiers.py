@@ -1,0 +1,98 @@
+"""Classifier adapters for the classifier-transfer attacks — reference C13.
+
+The reference attacks two external classifiers with torchattacks PGD/CW:
+- FFHQ: a torchvision resnet18 gender model (`interpolation.py:1296-1302`)
+  -> ``tpufusion.models.resnet`` (native flax + converter);
+- cars: the ``stanford-car-vit-patch16`` HF ViT (`interpolation.py:1294,1355`)
+  -> adapted here via transformers' Flax ViT.
+
+Each adapter yields a pure ``logits_fn(images_nhwc_pm1) -> (B, K)`` suitable
+for ``attacks.pgd.make_pgd`` / ``attacks.cw.make_cw``.  Inputs follow this
+framework's NHWC [-1, 1] convention; resizing to the classifier's input size
+happens inside the differentiated graph (the reference resizes to 224 before
+attacking, `interpolation.py:1361-1365`).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from tpufusion.core.imaging import resize_bilinear
+from tpufusion.models.resnet import ResNet, convert_resnet18_checkpoint, create_resnet18
+
+
+def resnet_logits_fn(model: ResNet, variables, input_size: int = 256) -> Callable:
+    """Gender-classifier adapter (ffhq).  Params ride inside ``variables``
+    passed per call via closure-free partial: the returned fn takes
+    (images,) but callers jitting it should thread ``variables`` as an
+    argument — see ``make_attack_logits``."""
+
+    def logits(variables_, images):
+        x = images
+        if x.shape[1] != input_size:
+            x = resize_bilinear(x, input_size, input_size)
+        return model.apply(variables_, x)
+
+    return logits
+
+
+def create_vit_classifier(
+    num_labels: int,
+    *,
+    image_size: int = 224,
+    patch_size: int = 16,
+    hidden_size: int = 768,
+    num_layers: int = 12,
+    num_heads: int = 12,
+    intermediate_size: int = 3072,
+    pretrained_dir: Optional[str] = None,
+    seed: int = 0,
+):
+    """Build (or load) a Flax ViT image classifier (the cars model shape:
+    vit-patch16 @224).  ``pretrained_dir`` points at a locally downloaded HF
+    model dir (zero-egress deployment: no hub fetches).
+
+    Returns ``(logits_fn, params)`` with
+    ``logits_fn(params, images_nhwc_pm1) -> (B, num_labels)``.
+    """
+    from transformers import FlaxViTForImageClassification, ViTConfig
+
+    if pretrained_dir:
+        model = FlaxViTForImageClassification.from_pretrained(pretrained_dir)
+    else:
+        config = ViTConfig(
+            image_size=image_size, patch_size=patch_size, hidden_size=hidden_size,
+            num_hidden_layers=num_layers, num_attention_heads=num_heads,
+            intermediate_size=intermediate_size, num_labels=num_labels,
+        )
+        model = FlaxViTForImageClassification(config, seed=seed)
+    params = model.params
+    size = model.config.image_size
+
+    def logits_fn(params_, images):
+        x = images
+        if x.shape[1] != size:
+            x = resize_bilinear(x, size, size)
+        # HF ViT wants NCHW pixel_values; [-1,1] matches its default
+        # (ViTImageProcessor normalises with mean/std .5)
+        x = jnp.transpose(x, (0, 3, 1, 2))
+        return model(x, params=params_).logits
+
+    return logits_fn, params
+
+
+def load_gender_classifier(checkpoint_path: Optional[str], key=None,
+                           policy=None):
+    """The FFHQ gender model: torchvision resnet18 with a 2-way head
+    (`interpolation.py:1296-1302`).  Random init when no checkpoint."""
+    key = key if key is not None else jax.random.key(0)
+    model, variables = create_resnet18(key, num_classes=2, policy=policy)
+    if checkpoint_path:
+        from tpufusion.io.checkpoint import load_torch_state_dict
+
+        state = load_torch_state_dict(checkpoint_path)
+        variables = convert_resnet18_checkpoint(state, model)
+    return resnet_logits_fn(model, variables), variables
