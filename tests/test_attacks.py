@@ -276,3 +276,30 @@ class TestWhiteboxStepwise:
             np.asarray(trace_scan["total"]), np.asarray(trace_step["total"]),
             rtol=1e-3,
         )
+
+
+class TestWhiteboxStepwiseVmapped:
+    def test_matches_vmap_scan(self, pipeline):
+        """Per-image stepwise == per-image scanned trajectories."""
+        import jax
+        from tpufusion.attacks.whitebox import vmap_whitebox, vmap_whitebox_stepwise
+
+        cfg = WhiteboxConfig(lr=0.01, n_iters=3)
+        imgs = jax.random.uniform(jax.random.key(21), (2, 32, 32, 3), minval=-1, maxval=1)
+        target = jax.random.uniform(jax.random.key(22), (1, 32, 32, 3), minval=-1, maxval=1)
+        adv_a, tr_a = vmap_whitebox(pipeline, cfg)(imgs, target)
+        adv_b, tr_b = vmap_whitebox_stepwise(pipeline, cfg)(imgs, target)
+        np.testing.assert_allclose(np.asarray(adv_a), np.asarray(adv_b), atol=3e-4)
+        np.testing.assert_allclose(
+            np.asarray(tr_a["total"]), np.asarray(tr_b["total"]), rtol=1e-3
+        )
+
+    def test_run_whitebox_stepwise_execution(self, pipeline):
+        from tpufusion.attacks.whitebox import run_whitebox
+
+        cfg = WhiteboxConfig(lr=0.01, n_iters=2, execution="stepwise")
+        inputs = jax.random.uniform(jax.random.key(23), (3, 32, 32, 3), minval=-1, maxval=1)
+        target = jax.random.uniform(jax.random.key(24), (1, 32, 32, 3), minval=-1, maxval=1)
+        adv, _ = run_whitebox(pipeline, inputs, target, cfg, which_adv=[0])
+        assert not np.allclose(np.asarray(adv[0]), np.asarray(inputs[0]))
+        assert np.allclose(np.asarray(adv[1]), np.asarray(inputs[1]))

@@ -79,6 +79,9 @@ class WhiteboxConfig:
     lr: float = 1e-4  # reference default (`attack_main2.py:879`)
     n_iters: int = 100  # iter_dict 100 @1024/512, 50 @256 (`attack_main2.py:908`)
     weights: LossWeights = PRESET_ATTACK_MAIN
+    # 'scan': whole loop as one compiled program; 'stepwise': one-step program
+    # + async host loop (for toolchains that choke on giant modules)
+    execution: str = "scan"
 
 
 def default_n_iters(image_size: int) -> int:
@@ -272,6 +275,33 @@ def vmap_whitebox(pipeline: FusionPipeline, config: WhiteboxConfig):
     return attack
 
 
+def vmap_whitebox_stepwise(pipeline: FusionPipeline, config: WhiteboxConfig):
+    """Per-image (vmapped) stepwise attack: one vmapped single-image step
+    program + an async host loop — exact per-image Adam trajectories like
+    ``vmap_whitebox`` but with a small compiled unit."""
+    init, step = make_whitebox_stepper(pipeline, config)
+    params = _model_params(pipeline)
+
+    vinit = jax.jit(jax.vmap(
+        lambda p, img, tgt: init.jitted(p, img[None], tgt[None]),
+        in_axes=(None, 0, 0),
+    ))
+    vstep = jax.jit(jax.vmap(step.jitted, in_axes=(None, 0)))
+
+    def attack(imgs, targets):
+        if targets.shape[0] == 1:
+            targets = jnp.broadcast_to(targets, imgs.shape)
+        state = vinit(params, imgs, targets)
+        traces = []
+        for _ in range(config.n_iters):
+            state, terms = vstep(params, state)
+            traces.append(terms)
+        trace = jax.tree.map(lambda *xs: jnp.stack(xs, axis=1), *traces)
+        return state["x"][:, 0], trace
+
+    return attack
+
+
 def run_whitebox(
     pipeline: FusionPipeline,
     inputs,
@@ -284,7 +314,10 @@ def run_whitebox(
     Returns (adv_inputs, traces)."""
     n = inputs.shape[0]
     which = list(range(n)) if not which_adv else list(which_adv)
-    attack = vmap_whitebox(pipeline, config)
+    if config.execution == "stepwise":
+        attack = vmap_whitebox_stepwise(pipeline, config)
+    else:
+        attack = vmap_whitebox(pipeline, config)
     sel = jnp.asarray([i in which for i in range(n)])
     advs, traces = attack(inputs, target_img)
     mask = sel.reshape((-1,) + (1,) * (inputs.ndim - 1))
