@@ -55,23 +55,30 @@ def upfirdn2d(
     kh, kw = kernel.shape
 
     if up > 1:
-        y = jnp.zeros((n, h * up, w * up, c), dtype=x.dtype)
-        y = y.at[:, ::up, ::up, :].set(x)
-        x = y
+        # zero-stuff via pad+reshape: an `.at[::up, ::up].set` scatter is
+        # catastrophically slow on TPU
+        y = x[:, :, None, :, None, :]
+        y = jnp.pad(y, ((0, 0), (0, 0), (0, up - 1), (0, 0), (0, up - 1), (0, 0)))
+        x = y.reshape(n, h * up, w * up, c)
         h, w = h * up, w * up
 
     pad0, pad1 = pad
     # Negative pads crop; XLA's conv padding accepts negatives directly.
-    filt = kernel[::-1, ::-1].astype(jnp.float32)
+    # Filter in the activation dtype: forcing fp32 here doubled the memory
+    # traffic of every blur/upsample in the synthesis path (these run at the
+    # largest resolutions); the FIR taps are exactly representable in bf16
+    # up to the normalisation, and conv accumulation is fp32 on the MXU.
+    filt = kernel[::-1, ::-1].astype(x.dtype)
     filt = jnp.tile(filt[:, :, None, None], (1, 1, 1, c))  # HWIO depthwise
 
     y = lax.conv_general_dilated(
-        x.astype(jnp.float32),
+        x,
         filt,
         window_strides=(down, down),
         padding=((pad0, pad1), (pad0, pad1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=c,
+        precision=lax.Precision.DEFAULT,
     )
     return y.astype(x.dtype)
 
