@@ -34,6 +34,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--n_iters", type=int, default=None)
     p.add_argument("--which_adv", type=int, nargs="*", default=[])
+    p.add_argument("--whitebox_stepwise", action="store_true",
+                   help="run white-box attacks with the stepwise executor")
     p.add_argument("--max_count", type=int, default=50)
     p.add_argument("--patch_type", default="square", choices=["square", "circle"])
     p.add_argument("--patch_size", type=float, default=0.1)
@@ -77,6 +79,7 @@ def main(argv=None) -> int:
     cfg = AttackRunConfig(
         dataset_name=args.dataset, attacks=tuple(args.attacks), lr=args.lr,
         n_iters=args.n_iters, which_adv=args.which_adv, max_count=args.max_count,
+        whitebox_execution="stepwise" if args.whitebox_stepwise else "scan",
         patch_type=args.patch_type, patch_size=args.patch_size,
         paste_times=args.paste_times, scale=args.scale, pgd_steps=args.pgd_steps,
         train_size=args.train_size, test_size=args.test_size,

@@ -65,6 +65,7 @@ class AttackRunConfig:
     lr: float = 1e-4
     n_iters: Optional[int] = None  # None -> ITER_DICT[generator size]
     which_adv: List[int] = dataclasses.field(default_factory=list)
+    whitebox_execution: str = "scan"  # or "stepwise" (small compile units)
 
     # patch (`--epochs/--max_count/--patch_type/--patch_size`)
     epochs: int = 1

@@ -129,7 +129,8 @@ def dispatch_attack(
 
     if attack in ("white_box_target", "white_box_patch"):
         wcfg = WhiteboxConfig(
-            lr=cfg.lr, n_iters=cfg.iters_for(size), weights=PRESET_ATTACK_MAIN
+            lr=cfg.lr, n_iters=cfg.iters_for(size), weights=PRESET_ATTACK_MAIN,
+            execution=cfg.whitebox_execution,
         )
         if attack == "white_box_patch":
             # per-image paste target (`attack_main2.py:339-351`)
