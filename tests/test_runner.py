@@ -226,3 +226,14 @@ class TestResumePaths:
             "--inputs_path", paths["all_inputs"],
         ])
         assert rc == 0
+
+
+class TestCWDispatch:
+    def test_cw_attack_dispatch(self, pipeline, batch):
+        from tpufusion.configs import AttackRunConfig
+
+        inputs, target = batch
+        cfg = AttackRunConfig(dataset_name="church", cw_steps=5)
+        (adv,) = dispatch_attack(pipeline, "cw", inputs, target, cfg, jax.random.key(30))
+        assert adv.shape == inputs.shape
+        assert bool(jnp.all(jnp.isfinite(adv)))

@@ -160,6 +160,24 @@ def dispatch_attack(
         adv, _ = make_pgd(loss, pcfg)(inputs, key, pipeline.enc_vars, latent_org)
         return [adv]
 
+    if attack == "cw":
+        # classifier-based CW (`interpolation.py:1357`): tanh-space Adam on the
+        # gender classifier's logits; random-init classifier unless a
+        # checkpoint is configured
+        from tpufusion.attacks.cw import CWConfig, make_cw
+        from tpufusion.models.classifiers import load_gender_classifier
+
+        logits_fn, clf_vars = load_gender_classifier(None, key=key,
+                                                     policy=pipeline.policy)
+        clean_logits = jax.jit(logits_fn)(clf_vars, inputs)
+        labels = jnp.argmax(clean_logits, axis=-1)
+        attack_fn = make_cw(
+            lambda x: logits_fn(clf_vars, x),
+            CWConfig(c=1.0, steps=cfg.cw_steps, lr=0.01),
+        )
+        adv, _ = attack_fn(inputs, labels)
+        return [adv]
+
     if attack == "adv_generate":
         # load pre-generated adversarial inputs (`interpolation.py:1377-1394`)
         from tpufusion.data.adv_inputs import load_adv_inputs
