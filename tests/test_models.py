@@ -180,7 +180,9 @@ class TestCheckpointConversion:
                 sd[f"{pre}.res_layer.3.weight"] = rng.randn(d, d, 3, 3).astype(np.float32)
                 sd[f"{pre}.res_layer.5.fc1.weight"] = rng.randn(max(d // 16, 1), d, 1, 1).astype(np.float32)
                 sd[f"{pre}.res_layer.5.fc2.weight"] = rng.randn(d, max(d // 16, 1), 1, 1).astype(np.float32)
-                if u == 0:  # stride-2 unit has a conv shortcut
+                if u == 0 and cin != d:
+                    # conv shortcut only on channel-changing units; same-
+                    # channel stride-2 units use MaxPool (no weights) in IR-SE
                     sd[f"{pre}.shortcut_layer.0.weight"] = rng.randn(d, cin, 1, 1).astype(np.float32)
                     for suffix in ("weight", "bias", "running_mean", "running_var"):
                         sd[f"{pre}.shortcut_layer.1.{suffix}"] = rng.rand(d).astype(np.float32) + 0.5

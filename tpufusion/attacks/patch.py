@@ -196,9 +196,11 @@ def make_patch_attack_step(pipeline: FusionPipeline, config: PatchConfig,
     size = pipeline.image_size
     transform = square_transform if cfg.patch_type == "square" else circle_transform
     need_rec = cfg.w_img_rec_target != 0.0 or cfg.w_lpips_rec_target != 0.0
-    need_target = (
-        cfg.w_latent_target != 0.0 or need_rec or target_img is not None
-    ) and target_img is not None
+    # target precomputation only when a target exists AND some target-weighted
+    # term is active (default reference weights use none of them, `:126`)
+    need_target = target_img is not None and (
+        cfg.w_latent_target != 0.0 or need_rec
+    )
 
     def mse(a, b):
         d = a.astype(jnp.float32) - b.astype(jnp.float32)
@@ -272,6 +274,9 @@ def train_patch(
     key, kinit = jax.random.split(key)
     patch = init(pipeline.image_size, cfg.patch_frac, kinit)
     step = make_patch_attack_step(pipeline, cfg, target_img)
+
+    if cfg.epochs > 1:
+        images = list(images)  # one-shot iterables must survive re-iteration
 
     for epoch in range(cfg.epochs):
         for i, img in enumerate(images):

@@ -313,12 +313,14 @@ def run_whitebox(
     images listed in ``which_adv`` (default: all), keep the rest benign.
     Returns (adv_inputs, traces)."""
     n = inputs.shape[0]
-    which = list(range(n)) if not which_adv else list(which_adv)
+    which = sorted(set(range(n)) if not which_adv else set(which_adv))
     if config.execution == "stepwise":
         attack = vmap_whitebox_stepwise(pipeline, config)
     else:
         attack = vmap_whitebox(pipeline, config)
-    sel = jnp.asarray([i in which for i in range(n)])
-    advs, traces = attack(inputs, target_img)
-    mask = sel.reshape((-1,) + (1,) * (inputs.ndim - 1))
-    return jnp.where(mask, advs, inputs), traces
+    # only optimise the selected rows (the reference optimises exactly the
+    # chosen indices; attacking all n and masking would waste n/len(which)x)
+    idx = jnp.asarray(which)
+    sub_targets = target_img if target_img.shape[0] == 1 else target_img[idx]
+    advs_sel, traces = attack(inputs[idx], sub_targets)
+    return inputs.at[idx].set(advs_sel), traces

@@ -84,17 +84,31 @@ def ssim(a: jax.Array, b: jax.Array, *, win: int = 7, data_range: float = 2.0) -
     return jnp.mean(s, axis=(1, 2, 3))
 
 
+def perceptual_distance_per_image(feats_a, feats_b):
+    """Per-image sum of per-tap MSEs — (N,) variant of
+    ``models.vgg16.perceptual_distance`` (the reference computes these one
+    image at a time, `interpolation.py:1081-1085`)."""
+    total = 0.0
+    for a, b in zip(feats_a, feats_b):
+        d = a.astype(jnp.float32) - b.astype(jnp.float32)
+        total = total + jnp.mean(d * d, axis=tuple(range(1, a.ndim)))
+    return total
+
+
 def fused_image_metrics(pipeline, original_fused, adv_fused_all):
     """``cal_result`` (`interpolation.py:1076-1091`): for each adversarial
     fused image, MSE + VGG perceptual distance + SSIM versus the benign fused
     image.  Returns three (K,) numpy-convertible arrays (the reference builds
-    three dicts keyed by index)."""
+    three dicts keyed by index; it also runs one VGG pass per image — here
+    ONE batched VGG pass covers all K+1 images)."""
     orig = jnp.broadcast_to(original_fused, adv_fused_all.shape)
     mses = mse_per_image(orig, adv_fused_all)
     ssims = ssim(orig, adv_fused_all)
     feats_o = pipeline.vgg_feats(original_fused)
-    vgs = []
-    for i in range(adv_fused_all.shape[0]):
-        feats_a = pipeline.vgg_feats(adv_fused_all[i : i + 1])
-        vgs.append(perceptual_distance(feats_o, feats_a))
-    return mses, jnp.stack(vgs), ssims
+    feats_a = pipeline.vgg_feats(adv_fused_all)
+    feats_o = jax.tree.map(
+        lambda t: jnp.broadcast_to(t, (adv_fused_all.shape[0],) + t.shape[1:]),
+        feats_o,
+    )
+    vgs = perceptual_distance_per_image(feats_a, feats_o)
+    return mses, vgs, ssims

@@ -192,12 +192,19 @@ class FusionDrawer:
         unknown = set(part_latents) - {k for k, _ in SWAP_TABLE}
         if unknown:
             raise TypeError(f"unknown part keywords: {sorted(unknown)}")
-        fn = self._generate_fn(latents_type, provided)
+        # per-instance cache (an lru_cache on the method would key on `self`
+        # in a class-level dict and pin every drawer + its compiled programs
+        # for the process lifetime)
+        cache = self.__dict__.setdefault("_generate_fns", {})
+        fn = cache.get((latents_type, provided))
+        if fn is None:
+            fn = cache[(latents_type, provided)] = self._generate_fn(
+                latents_type, provided
+            )
         latents = [base_latent] + [part_latents[k] for k in provided]
         out = fn(self.gen_vars, self.blend_params, self.mean_latent, *latents)
         return out.image, out.features
 
-    @functools.lru_cache(maxsize=None)
     def _generate_fn(self, latents_type: str, provided: tuple):
         gen, blender, trunc = self.generator, self.blender, self.truncation
         parts = tuple(self.parts)

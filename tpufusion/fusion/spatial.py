@@ -15,24 +15,36 @@ import jax.numpy as jnp
 
 from tpufusion.fusion.drawer import FusionDrawer
 
-# role order of the latent rows, and how they map onto generate_img kwargs
+# role order of the latent rows, how they map onto generate_img kwargs, and
+# the order the reference reconstructs the individual images in (its
+# `I_all = torch.cat(...)` lists, `attack_main2.py:543,562,577`)
 ROLE_MAPS = {
     "ffhq": dict(
         roles=("mouth", "background", "hair", "eyes", "global"),
         base="global",
         kwargs={"hair": "hair", "eyes": "eyes", "background": "background", "mouth": "mouth"},
+        recon=("mouth", "background", "hair", "eyes", "global"),
     ),
     "car": dict(
         roles=("wheels", "bg_top", "bg_bottom", "body"),
         base="body",
         kwargs={"wheels": "wheels", "bg_top": "bg_top", "bg_bottom": "bg_bottom"},
+        recon=("body", "wheels", "bg_top", "bg_bottom"),
     ),
     "church": dict(
         roles=("bg_top", "bg_bottom", "body"),
         base="body",
         kwargs={"bg_top": "bg_top", "bg_bottom": "bg_bottom"},
+        recon=("body", "bg_top", "bg_bottom"),
     ),
 }
+
+
+def recon_index(dataset: str):
+    """Permutation from latent-row order to the reference's reconstruction
+    order (identity for ffhq; car/church reconstruct base-first)."""
+    cfg = ROLE_MAPS[dataset]
+    return [cfg["roles"].index(r) for r in cfg["recon"]]
 
 
 def n_inputs(dataset: str) -> int:
@@ -63,6 +75,9 @@ def spatial_fusion(drawer: FusionDrawer, all_latents, feature_idx: int = -1):
     # Individual reconstructions: the reference runs each latent through the
     # blender with identical parts (`attack_main2.py:532-542`), which is the
     # identity blend (g*a + (1-g)*a = a) — so one *batched* synthesis pass is
-    # mathematically equivalent and N times fewer generator launches.
-    singles, features = drawer.w_plus_to_image(all_latents)
+    # mathematically equivalent and N times fewer generator launches.  Rows
+    # come back in the reference's reconstruction order (`recon`; base-first
+    # for car/church, latent order for ffhq).
+    order = jnp.asarray(recon_index(drawer.dataset))
+    singles, features = drawer.w_plus_to_image(all_latents[order])
     return fused, singles, features[feature_idx]

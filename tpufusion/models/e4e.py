@@ -96,8 +96,11 @@ class BottleneckIRSE(nn.Module):
     def __call__(self, x):
         cin = x.shape[-1]
         pd = self.policy.param_dtype
-        if cin == self.depth and self.stride == 1:
-            shortcut = x
+        if cin == self.depth:
+            # IR-SE uses MaxPool2d(1, stride) when channels match — i.e. a
+            # strided subsample (identity at stride 1); a parameterized
+            # shortcut here would make real e4e checkpoints unloadable.
+            shortcut = x if self.stride == 1 else x[:, ::self.stride, ::self.stride, :]
         else:
             shortcut = nn.Conv(self.depth, (1, 1), strides=self.stride, use_bias=False,
                                dtype=x.dtype, param_dtype=pd, name="shortcut_conv")(x)

@@ -105,7 +105,8 @@ def make_sharded_whitebox_step(pipeline, config, mesh: Mesh):
         d = a.astype(jnp.float32) - b.astype(jnp.float32)  # per-image Adam up
         return jnp.mean(d * d, axis=tuple(range(1, a.ndim)))  # to lr scaling
 
-    def loss_fn(params, x, img_org, target_img, latent_org, latent_target, feats_org):
+    def loss_fn(params, x, img_org, target_img, latent_org, latent_target,
+                feats_org, feats_target):
         r_x = avg_pool(x, factor)
         latent_pred = enc(params["enc"], r_x)
         img_rec = dec(params["gen"], latent_pred)
@@ -114,11 +115,21 @@ def make_sharded_whitebox_step(pipeline, config, mesh: Mesh):
             w.latent_target * mse_b(latent_target, latent_pred)
             + w.latent_org * mse_b(latent_org, latent_pred)
             + w.img_rec_target * mse_b(target_img, img_rec)
+            + w.img_rec_org * mse_b(img_org, img_rec)
             + w.img_org * mse_b(img_org, x)
         )
         loss = jnp.sum(per)
+        n = x.shape[0]
         if w.lpips_img != 0.0:
-            loss = loss + w.lpips_img * perceptual_distance(feats_x, feats_org) * x.shape[0]
+            loss = loss + w.lpips_img * perceptual_distance(feats_x, feats_org) * n
+        if w.lpips_rec_target != 0.0 or w.lpips_rec_org != 0.0:
+            feats_rec = vgg(params["vgg"], avg_pool(img_rec, factor))
+            if w.lpips_rec_target != 0.0:
+                loss = loss + w.lpips_rec_target * perceptual_distance(
+                    feats_rec, feats_target) * n
+            if w.lpips_rec_org != 0.0:
+                loss = loss + w.lpips_rec_org * perceptual_distance(
+                    feats_rec, feats_org) * n
         return loss
 
     bspec = lambda nd: NamedSharding(mesh, P("data", *([None] * (nd - 1))))
@@ -134,6 +145,7 @@ def make_sharded_whitebox_step(pipeline, config, mesh: Mesh):
             latent_org=enc(params["enc"], r_org),
             latent_target=enc(params["enc"], r_t),
             feats_org=vgg(params["vgg"], r_org),
+            feats_target=vgg(params["vgg"], r_t),
             opt_state=opt.init(imgs),
         )
 
@@ -142,7 +154,7 @@ def make_sharded_whitebox_step(pipeline, config, mesh: Mesh):
         x = state["x"]
         loss, g = jax.value_and_grad(loss_fn, argnums=1)(
             params, x, state["img_org"], state["target"], state["latent_org"],
-            state["latent_target"], state["feats_org"],
+            state["latent_target"], state["feats_org"], state["feats_target"],
         )
         updates, opt_state = opt.update(g, state["opt_state"])
         x = optax.apply_updates(x, updates)

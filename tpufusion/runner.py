@@ -154,8 +154,9 @@ def dispatch_attack(
 
         steps = 1 if attack == "fgsm" else cfg.pgd_steps
         pcfg = PGDConfig(
-            eps=cfg.pgd_eps * 2.0,  # [-1,1] range is 2x the [0,1] recipe
-            alpha=cfg.pgd_alpha, steps=steps, random_start=(attack == "pgd"),
+            # [-1,1] range is 2x the [0,1] recipe: scale eps AND alpha
+            eps=cfg.pgd_eps * 2.0, alpha=cfg.pgd_alpha * 2.0,
+            steps=steps, random_start=(attack == "pgd"),
         )
         adv, _ = make_pgd(loss, pcfg)(inputs, key, pipeline.enc_vars, latent_org)
         return [adv]
@@ -173,7 +174,7 @@ def dispatch_attack(
         labels = jnp.argmax(clean_logits, axis=-1)
         attack_fn = make_cw(
             lambda x: logits_fn(clf_vars, x),
-            CWConfig(c=1.0, steps=cfg.cw_steps, lr=0.01),
+            CWConfig(steps=cfg.cw_steps, lr=0.01),  # c = reference 1e-4 default
         )
         adv, _ = attack_fn(inputs, labels)
         return [adv]
@@ -214,7 +215,12 @@ def run_experiment(
 
     b_sp, singles_sp, feats = benign_fusion(pipeline.drawer, all_latents, "spatial")
     b_ar, singles_ar, _ = benign_fusion(pipeline.drawer, all_latents, "arithmetic")
-    rec_loss = mse_per_image(inputs, singles_sp)
+    # spatial singles come back in the reference's reconstruction order —
+    # pair each input with ITS OWN reconstruction for the rec loss
+    from tpufusion.fusion.spatial import recon_index
+
+    order = jnp.asarray(recon_index(pipeline.dataset))
+    rec_loss = mse_per_image(inputs[order], singles_sp)
     results["benign"] = dict(
         fused_spatial=b_sp, fused_arith=b_ar, rec_loss=rec_loss, features=feats
     )
