@@ -162,3 +162,23 @@ class TestConfigs:
         assert cfg.run_postfix("patch_white_box", 1024) == \
             "ffhq_patch_white_box_2000_50_0.100"
         assert cfg.run_postfix("dp_noise", 1024) == "ffhq_dp_noise"
+
+
+class TestMiscParity:
+    def test_aggregate_loss_dict(self):
+        from tpufusion.utils.logging import aggregate_loss_dict
+
+        out = aggregate_loss_dict([{"a": 1.0, "b": 2.0}, {"a": 3.0}])
+        assert out == {"a": 2.0, "b": 2.0}
+
+    def test_comparison_grid(self, tmp_path):
+        from tpufusion.io.images import save_comparison_grid
+
+        img = np.zeros((8, 8, 3), np.float32)
+        p = save_comparison_grid(
+            [dict(input_face=img, target_face=img, output_face=img)] * 2,
+            str(tmp_path / "cmp.png"),
+        )
+        from PIL import Image
+
+        assert Image.open(p).size == (24, 16)

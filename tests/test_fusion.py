@@ -152,3 +152,27 @@ class TestFusionOps:
         np.testing.assert_allclose(
             np.asarray(fused[0]), np.asarray(singles[0]), atol=1e-4
         )
+
+
+class TestDrawerDictAPIs:
+    def test_z_to_w_plus(self, drawer):
+        z = drawer.seed_to_z((5, 2))
+        w = drawer.z_to_w_plus(z)
+        assert w.shape == (1, drawer.generator.n_latent, 512)
+
+    def test_w_plus_dict_to_image(self, drawer):
+        n_lat = drawer.generator.n_latent
+        base = jax.random.normal(jax.random.key(40), (1, n_lat, 512))
+        hair = jax.random.normal(jax.random.key(41), (1, n_lat, 512))
+        img, feats = drawer.w_plus_dict_to_image({"all": base, "hair": hair})
+        assert img.shape == (1, 32, 32, 3)
+        base_only, _ = drawer.w_plus_dict_to_image({"all": base})
+        assert not np.allclose(np.asarray(img), np.asarray(base_only), atol=1e-4)
+
+    def test_z_dict_to_image(self, drawer):
+        img, _ = drawer.z_dict_to_image({"all": drawer.seed_to_z((3, 1))})
+        assert img.shape == (1, 32, 32, 3)
+
+    def test_dict_requires_all(self, drawer):
+        with pytest.raises(ValueError):
+            drawer.w_plus_dict_to_image({"hair": jnp.zeros((1, drawer.generator.n_latent, 512))})

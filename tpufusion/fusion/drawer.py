@@ -180,6 +180,38 @@ class FusionDrawer:
     def z_to_image(self, z):
         return self.s_to_image(self.z_to_s(z))
 
+    @functools.cached_property
+    def _z_to_w_plus(self):
+        gen, trunc = self.generator, self.truncation
+        return jax.jit(
+            lambda v, z, m: gen.apply(
+                v, [z], truncation=trunc, truncation_latent=m, return_latents=True
+            ).latents
+        )
+
+    def z_to_w_plus(self, z):
+        """z -> broadcast W+ (`style_fusion_simple.py:120-124`)."""
+        return self._z_to_w_plus(self.gen_vars, z, self.mean_latent)
+
+    def w_plus_dict_to_image(self, w_plus_dict, truncation: float = 1.0):
+        """Per-part W+ dict -> fused image (`style_fusion_simple.py:167-171`).
+        NB the reference's truncation=1 path is the plain w_plus_to_s."""
+        s_dict = {k: self.w_plus_to_s(v) for k, v in w_plus_dict.items()}
+        return self.s_dict_to_image(self._fill_s_dict(s_dict))
+
+    def z_dict_to_image(self, z_dict):
+        """Per-part z dict -> fused image (`style_fusion_simple.py:173-177`)."""
+        s_dict = {k: self.z_to_s(v) for k, v in z_dict.items()}
+        return self.s_dict_to_image(self._fill_s_dict(s_dict))
+
+    def _fill_s_dict(self, s_dict):
+        """Complete a partial per-part dict: unspecified parts default to the
+        'all' entry (the dict callers must provide one per reference usage)."""
+        if "all" not in s_dict:
+            raise ValueError("part dict needs an 'all' entry as the base")
+        base = s_dict["all"]
+        return {p: s_dict.get(p, base) for p in self.parts}
+
     # ---- generate_img (`style_fusion_simple.py:82-108`) ---------------
     def generate_img(self, base_latent, latents_type: str = "z", **part_latents):
         """Fused synthesis: seed every part with ``base_latent``, then apply

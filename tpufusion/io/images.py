@@ -35,6 +35,20 @@ def save_montage(batch, path: str, nrow: int = 8, padding: int = 2) -> str:
     return path
 
 
+def save_comparison_grid(rows, path: str, titles=("Input", "Target", "Output")) -> str:
+    """Input/target/output comparison figure (``utils/common.py vis_faces``
+    analog, PIL-based): ``rows`` is a list of dicts with ``input_face`` /
+    ``target_face`` / ``output_face`` images ((H,W,C) in [-1,1])."""
+    panels = []
+    for row in rows:
+        trio = [row["input_face"], row["target_face"], row["output_face"]]
+        panels.append(np.concatenate([np.asarray(t) for t in trio], axis=1))
+    grid = np.concatenate(panels, axis=0)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    Image.fromarray(to_uint8(grid)).save(path)
+    return path
+
+
 def load_image(path: str, size: int | tuple | None = None) -> np.ndarray:
     """File -> (1, H, W, C) float32 in [-1, 1]; optional bilinear resize
     (the target-image transform, `attack_main2.py:941-945`)."""

@@ -100,6 +100,18 @@ class StepTimer:
         return 1.0 / float(np.mean(ts)) if ts else 0.0
 
 
+def aggregate_loss_dict(agg_loss_dict):
+    """Mean per key over a list of loss dicts (`utils/train_utils.py:2-13`)."""
+    mean_vals: dict = {}
+    for output in agg_loss_dict:
+        for key, val in output.items():
+            mean_vals.setdefault(key, []).append(val)
+    return {
+        key: (sum(vals) / len(vals)) if vals else 0
+        for key, vals in mean_vals.items()
+    }
+
+
 @contextlib.contextmanager
 def trace_profile(log_dir: str):
     """``with trace_profile(dir):`` wraps a region in a jax profiler trace."""
