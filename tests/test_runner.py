@@ -237,3 +237,15 @@ class TestCWDispatch:
         (adv,) = dispatch_attack(pipeline, "cw", inputs, target, cfg, jax.random.key(30))
         assert adv.shape == inputs.shape
         assert bool(jnp.all(jnp.isfinite(adv)))
+
+
+class TestBlurDispatch:
+    def test_blur_attack(self, pipeline, batch):
+        from tpufusion.configs import AttackRunConfig
+
+        inputs, target = batch
+        cfg = AttackRunConfig(dataset_name="church", scale=0.2)
+        (adv,) = dispatch_attack(pipeline, "blur", inputs, target, cfg, jax.random.key(31))
+        assert adv.shape == inputs.shape
+        # blur reduces local variance
+        assert float(jnp.var(adv)) < float(jnp.var(inputs))

@@ -21,6 +21,7 @@ ATTACK_CHOICES = (
     "patch_white_box",
     "patch",
     "dp_noise",
+    "blur",
     "out_domain_more",
     "out_domain_single",
     "adv_generate",

@@ -102,6 +102,14 @@ def dispatch_attack(
     if attack == "dp_noise":
         return [dp_noise(inputs, key, cfg.scale)]
 
+    if attack == "blur":
+        # Gaussian-blur robustness baseline (`add_noise`, attack_main2.py:273-282;
+        # demo invocation :214-218 with a large kernel)
+        from tpufusion.attacks.baselines import gaussian_blur_noise
+
+        k = max(int(cfg.scale * pipeline.image_size) | 1, 3)  # odd kernel
+        return [gaussian_blur_noise(inputs, k)]
+
     if attack == "patch":
         return [paste_patch(inputs, target_img, cfg.paste_times)]
 
