@@ -176,3 +176,29 @@ class TestDrawerDictAPIs:
     def test_dict_requires_all(self, drawer):
         with pytest.raises(ValueError):
             drawer.w_plus_dict_to_image({"hair": jnp.zeros((1, drawer.generator.n_latent, 512))})
+
+
+class TestReconOrder:
+    def test_church_recon_order_is_reference(self):
+        """Reference church recon order is base-first (`attack_main2.py:571-577`)."""
+        from tpufusion.fusion.spatial import recon_index
+
+        assert recon_index("church") == [2, 0, 1]  # body, bg_top, bg_bottom
+        assert recon_index("car") == [3, 0, 1, 2]  # body, wheels, bg_top, bg_bottom
+        assert recon_index("ffhq") == [0, 1, 2, 3, 4]  # latent order
+
+    def test_spatial_singles_follow_recon_order(self):
+        from tpufusion.fusion.spatial import recon_index
+
+        d = FusionDrawer.create(
+            "church", jax.random.key(1), size=32, channel_multiplier=1,
+            policy=FP32, mean_latent_samples=16,
+        )
+        n = n_inputs("church")
+        lat = jax.random.normal(jax.random.key(2), (n, d.generator.n_latent, 512))
+        _, singles, _ = spatial_fusion(d, lat)
+        direct, _ = d.w_plus_to_image(lat)
+        order = recon_index("church")
+        np.testing.assert_allclose(
+            np.asarray(singles), np.asarray(direct)[order], atol=1e-5
+        )
