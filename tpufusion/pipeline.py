@@ -95,6 +95,68 @@ class FusionPipeline:
     def is_cars(self) -> bool:
         return "car" in self.dataset
 
+    # ---- persistence ---------------------------------------------------
+    def save(self, directory: str) -> str:
+        """Persist every params pytree (+ fusion nets + mean latent) as .npz
+        so a pipeline resumes without re-init/re-conversion (the model-side
+        checointing the reference lacks, SURVEY §5)."""
+        import json
+        import os
+
+        from tpufusion.io.params_io import save_pytree
+
+        os.makedirs(directory, exist_ok=True)
+        save_pytree(self.drawer.gen_vars, os.path.join(directory, "generator.npz"))
+        save_pytree(self.enc_vars, os.path.join(directory, "encoder.npz"))
+        save_pytree(self.vgg_vars, os.path.join(directory, "vgg.npz"))
+        save_pytree(self.drawer.blend_params, os.path.join(directory, "fusion_nets.npz"))
+        save_pytree(
+            dict(mean_latent=self.drawer.mean_latent, latent_avg=self.latent_avg),
+            os.path.join(directory, "latents.npz"),
+        )
+        meta = dict(
+            dataset=self.dataset,
+            size=self.image_size,
+            channel_multiplier=self.generator.channel_multiplier,
+            encoder_input_size=self.encoder_input_size,
+            encoder_base_channels=self.encoder.base_channels,
+            encoder_units=list(self.encoder.unit_counts),
+            n_styles=self.encoder.n_styles,
+        )
+        with open(os.path.join(directory, "pipeline.json"), "w") as f:
+            json.dump(meta, f, indent=2)
+        return directory
+
+    @classmethod
+    def load(cls, directory: str, *, policy: Optional[Policy] = None,
+             remat: bool = False) -> "FusionPipeline":
+        """Rebuild a pipeline from ``save`` output."""
+        import json
+        import os
+
+        import jax.numpy as jnp
+
+        from tpufusion.io.params_io import load_pytree
+
+        with open(os.path.join(directory, "pipeline.json")) as f:
+            meta = json.load(f)
+        pipe = cls.create(
+            meta["dataset"], jax.random.key(0), size=meta["size"],
+            channel_multiplier=meta["channel_multiplier"], policy=policy,
+            remat=remat, mean_latent_samples=2,
+            encoder_base_channels=meta["encoder_base_channels"],
+            encoder_units=tuple(meta["encoder_units"]),
+            encoder_input_size=meta["encoder_input_size"],
+        )
+        pipe.drawer.gen_vars = load_pytree(os.path.join(directory, "generator.npz"))
+        pipe.enc_vars = load_pytree(os.path.join(directory, "encoder.npz"))
+        pipe.vgg_vars = load_pytree(os.path.join(directory, "vgg.npz"))
+        pipe.drawer.blend_params = load_pytree(os.path.join(directory, "fusion_nets.npz"))
+        lat = load_pytree(os.path.join(directory, "latents.npz"))
+        pipe.drawer.mean_latent = jnp.asarray(lat["mean_latent"])
+        pipe.latent_avg = jnp.asarray(lat["latent_avg"])
+        return pipe
+
     # ---- pure apply fns (for building attack losses) -----------------
     def encode_fn(self):
         """images (already encoder-sized) -> raw W+ codes (no latent_avg) —
