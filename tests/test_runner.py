@@ -249,3 +249,16 @@ class TestBlurDispatch:
         assert adv.shape == inputs.shape
         # blur reduces local variance
         assert float(jnp.var(adv)) < float(jnp.var(inputs))
+
+
+class TestFusionPGDDispatch:
+    def test_fusion_pgd_arith(self, pipeline, batch):
+        from tpufusion.configs import AttackRunConfig
+
+        inputs, target = batch
+        cfg = AttackRunConfig(dataset_name="church", pgd_steps=3,
+                              pgd_eps=0.02, pgd_alpha=0.01)
+        (adv,) = dispatch_attack(pipeline, "fusion_pgd_arith", inputs, target,
+                                 cfg, jax.random.key(32))
+        assert adv.shape == inputs.shape
+        assert float(jnp.max(jnp.abs(adv - inputs))) <= 0.04 + 1e-5

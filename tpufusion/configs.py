@@ -28,6 +28,8 @@ ATTACK_CHOICES = (
     "pgd",
     "cw",
     "fgsm",
+    "fusion_pgd_arith",
+    "fusion_pgd_spatial",
 )
 
 

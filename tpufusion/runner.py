@@ -169,6 +169,20 @@ def dispatch_attack(
         adv, _ = make_pgd(loss, pcfg)(inputs, key, pipeline.enc_vars, latent_org)
         return [adv]
 
+    if attack in ("fusion_pgd_arith", "fusion_pgd_spatial"):
+        # fusion-aware PGD (BASELINE configs 2-3): differentiate through the
+        # FULL pipeline and pull the fused output toward the target image
+        from tpufusion.attacks.fusion_attack import FusionAttackConfig, make_fusion_attack
+
+        mode = "arithmetic" if attack.endswith("arith") else "spatial"
+        facfg = FusionAttackConfig(
+            mode=mode, objective="pixel", targeted=True,
+            pgd=PGDConfig(eps=cfg.pgd_eps * 2.0, alpha=cfg.pgd_alpha * 2.0,
+                          steps=cfg.pgd_steps),
+        )
+        adv, _ = make_fusion_attack(pipeline, facfg)(inputs, target_img, key)
+        return [adv]
+
     if attack == "cw":
         # classifier-based CW (`interpolation.py:1357`): tanh-space Adam on the
         # gender classifier's logits; random-init classifier unless a
