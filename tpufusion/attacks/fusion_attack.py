@@ -18,8 +18,6 @@ directly at the quantity the evaluation measures).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

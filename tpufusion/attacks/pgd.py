@@ -19,7 +19,7 @@ loss accepts; shard the batch axis of its inputs over the mesh ``data`` axis
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

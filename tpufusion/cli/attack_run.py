@@ -73,7 +73,6 @@ def main(argv=None) -> int:
     from tpufusion.io import load_image
     from tpufusion.pipeline import FusionPipeline, create_test_pipeline
     from tpufusion.runner import generate_inputs, run_experiment
-    from tpufusion.utils import Logger
 
     pool = seed_everything(args.seed)
     cfg = AttackRunConfig(

@@ -10,8 +10,6 @@ Two source formats the reference uses:
 
 from __future__ import annotations
 
-import os
-
 import numpy as np
 from PIL import Image
 

@@ -12,7 +12,7 @@ Alignment only runs when the driver passes ``--align``
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
 import numpy as np
 import PIL.Image

@@ -14,8 +14,6 @@ and writes ``new_mask.xlsx``.  This environment has no xlsx writer
 from __future__ import annotations
 
 import os
-from typing import Optional
-
 import numpy as np
 
 try:

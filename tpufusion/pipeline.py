@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from tpufusion.core.dtypes import Policy, default_policy
 from tpufusion.core.imaging import avg_pool
-from tpufusion.fusion.drawer import DATASET_CONFIG, FusionDrawer
+from tpufusion.fusion.drawer import FusionDrawer
 from tpufusion.models.e4e import Encoder4Editing, create_encoder
 from tpufusion.models.vgg16 import VGG16, create_vgg16
 
