@@ -33,6 +33,7 @@ Two execution shapes:
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -217,7 +218,9 @@ def make_whitebox_stepper(pipeline: FusionPipeline, config: WhiteboxConfig):
             opt_state=opt.init(img),
         )
 
-    @jax.jit
+    # donate the state: without it every step copies the 1024^2 pixel buffer
+    # + Adam moments (~0.5 GB at batch-8) instead of aliasing in place
+    @functools.partial(jax.jit, donate_argnums=(1,))
     def step_impl(params, state):
         (loss, terms), g = jax.value_and_grad(loss_fn, argnums=1, has_aux=True)(
             params, state["x"], state["ref"]

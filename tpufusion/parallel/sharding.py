@@ -16,6 +16,7 @@ No hand-written communication: shardings in, XLA collectives out (P2).
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Sequence
 
 import jax
@@ -149,7 +150,7 @@ def make_sharded_whitebox_step(pipeline, config, mesh: Mesh):
             opt_state=opt.init(imgs),
         )
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(1,))  # alias state in place
     def step_impl(params, state):
         x = state["x"]
         loss, g = jax.value_and_grad(loss_fn, argnums=1)(
