@@ -32,10 +32,16 @@ class CWConfig:
 
 
 def make_cw(logits_fn: Callable, config: CWConfig):
-    """Build a jitted CW-L2 attack against ``logits_fn(images) -> (B, K)``.
+    """Build a jitted CW-L2 attack against
+    ``logits_fn(images, *logits_args) -> (B, K)``.
 
-    Returns ``attack(images, labels) -> (best_adv, best_l2)``; ``labels`` are
-    true labels (untargeted) or target labels (targeted).
+    Returns ``attack(images, labels, *logits_args) -> (best_adv, best_l2)``;
+    ``labels`` are true labels (untargeted) or target labels (targeted).
+    Pass model params via ``logits_args`` — closure-captured params embed as
+    HLO constants and can break large remote compiles.  NB the reference
+    adapters take ``(params, images)``: wrap as
+    ``make_cw(lambda x, p: logits_fn(p, x), cfg)`` and call with ``(imgs,
+    labels, params)``.
     """
     cfg = config
     lo, hi = cfg.clip_min, cfg.clip_max
@@ -57,14 +63,14 @@ def make_cw(logits_fn: Callable, config: CWConfig):
         return jnp.maximum(real - other, -cfg.kappa)
 
     @jax.jit
-    def attack(images, labels):
+    def attack(images, labels, *logits_args):
         w0 = to_tanh_space(images)
         opt = optax.adam(cfg.lr)
 
         def cost_fn(w):
             adv = from_tanh_space(w)
             l2 = jnp.sum((adv - images) ** 2, axis=tuple(range(1, adv.ndim)))
-            cost = jnp.sum(l2) + cfg.c * jnp.sum(f(logits_fn(adv), labels))
+            cost = jnp.sum(l2) + cfg.c * jnp.sum(f(logits_fn(adv, *logits_args), labels))
             return cost, (adv, l2)
 
         def step(carry, _):
@@ -74,7 +80,7 @@ def make_cw(logits_fn: Callable, config: CWConfig):
             w = optax.apply_updates(w, updates)
             # keep per-sample best: misclassified (f<=0 margin satisfied)
             # AND lower L2 (`interpolation.py:156-162`)
-            logits = logits_fn(adv)
+            logits = logits_fn(adv, *logits_args)
             succ = f(logits, labels) <= 0
             better = jnp.logical_and(succ, l2 < best_l2)
             sel = better.reshape((-1,) + (1,) * (adv.ndim - 1))

@@ -62,6 +62,13 @@ def make_fused_image_fn(pipeline: FusionPipeline, mode: str = "arithmetic"):
         base_role = role_cfg["base"]
 
         def fused(params, inputs):
+            if inputs.shape[0] != len(roles):
+                # JAX silently clamps out-of-range row indices — validate
+                # explicitly like fusion/spatial.py does
+                raise ValueError(
+                    f"{pipeline.dataset} spatial fusion needs {len(roles)} "
+                    f"inputs, got {inputs.shape[0]}"
+                )
             codes = latents_of(params, inputs)
             by_role = {r: codes[i][None] for i, r in enumerate(roles)}
 
@@ -69,7 +76,10 @@ def make_fused_image_fn(pipeline: FusionPipeline, mode: str = "arithmetic"):
                 return gen.apply(params["gen"], [latent], input_is_latent=True,
                                  return_style_vector=True)
 
-            s_dict = {p: to_s(by_role[base_role]) for p in parts}
+            # convert each distinct role latent ONCE (the drawer hoists the
+            # base conversion the same way, drawer._generate_fn)
+            s_base = to_s(by_role[base_role])
+            s_dict = {p: s_base for p in parts}
             for kw, keys in SWAP_TABLE:
                 if kw in kwargs_map:
                     s_kw = to_s(by_role[kwargs_map[kw]])

@@ -25,10 +25,11 @@ from tpufusion.models.resnet import ResNet, convert_resnet18_checkpoint, create_
 
 
 def resnet_logits_fn(model: ResNet, variables, input_size: int = 256) -> Callable:
-    """Gender-classifier adapter (ffhq).  Params ride inside ``variables``
-    passed per call via closure-free partial: the returned fn takes
-    (images,) but callers jitting it should thread ``variables`` as an
-    argument — see ``make_attack_logits``."""
+    """Gender-classifier adapter (ffhq): returns
+    ``logits(variables_, images) -> (B, 2)`` — params are an explicit first
+    argument so jitted attack programs thread them as inputs (never closure
+    constants).  ``variables`` here is only the default bundle callers may
+    pass back in."""
 
     def logits(variables_, images):
         x = images

@@ -130,32 +130,53 @@ class FusionPipeline:
     @classmethod
     def load(cls, directory: str, *, policy: Optional[Policy] = None,
              remat: bool = False) -> "FusionPipeline":
-        """Rebuild a pipeline from ``save`` output."""
+        """Rebuild a pipeline from ``save`` output.
+
+        Constructs the flax modules WITHOUT running their random inits (load
+        cost is just npz I/O — module dataclasses carry no params)."""
         import json
         import os
 
-        import jax.numpy as jnp
-
         from tpufusion.io.params_io import load_pytree
+        from tpufusion.models.e4e import Encoder4Editing
+        from tpufusion.models.fusion_hierarchy import HierarchyBlender
+        from tpufusion.models.stylegan2 import Generator
 
         with open(os.path.join(directory, "pipeline.json")) as f:
             meta = json.load(f)
-        pipe = cls.create(
-            meta["dataset"], jax.random.key(0), size=meta["size"],
-            channel_multiplier=meta["channel_multiplier"], policy=policy,
-            remat=remat, mean_latent_samples=2,
-            encoder_base_channels=meta["encoder_base_channels"],
-            encoder_units=tuple(meta["encoder_units"]),
+        policy = policy or default_policy()
+
+        generator = Generator(
+            size=meta["size"], channel_multiplier=meta["channel_multiplier"],
+            policy=policy, remat=remat,
+        )
+        gen_vars = load_pytree(os.path.join(directory, "generator.npz"))
+        blender = HierarchyBlender(
+            meta["dataset"], generator.style_input_dims(), policy=policy
+        )
+        blend_params = load_pytree(os.path.join(directory, "fusion_nets.npz"))
+        lat = load_pytree(os.path.join(directory, "latents.npz"))
+        drawer = FusionDrawer(
+            meta["dataset"], generator, gen_vars, blender, blend_params,
+            jnp.asarray(lat["mean_latent"]),
+        )
+        encoder = Encoder4Editing(
+            n_styles=meta["n_styles"],
+            base_channels=meta["encoder_base_channels"],
+            unit_counts=tuple(meta["encoder_units"]),
+            policy=policy,
+        )
+        vgg = VGG16(policy=policy)
+        return cls(
+            dataset=meta["dataset"], drawer=drawer,
+            encoder=encoder,
+            enc_vars=load_pytree(os.path.join(directory, "encoder.npz")),
+            vgg=vgg,
+            vgg_vars=load_pytree(os.path.join(directory, "vgg.npz")),
+            latent_avg=jnp.asarray(lat["latent_avg"]),
+            policy=policy,
             encoder_input_size=meta["encoder_input_size"],
         )
-        pipe.drawer.gen_vars = load_pytree(os.path.join(directory, "generator.npz"))
-        pipe.enc_vars = load_pytree(os.path.join(directory, "encoder.npz"))
-        pipe.vgg_vars = load_pytree(os.path.join(directory, "vgg.npz"))
-        pipe.drawer.blend_params = load_pytree(os.path.join(directory, "fusion_nets.npz"))
-        lat = load_pytree(os.path.join(directory, "latents.npz"))
-        pipe.drawer.mean_latent = jnp.asarray(lat["mean_latent"])
-        pipe.latent_avg = jnp.asarray(lat["latent_avg"])
-        return pipe
 
     # ---- pure apply fns (for building attack losses) -----------------
     def encode_fn(self):

@@ -17,7 +17,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpufusion.attacks import (
-    CWConfig,
     PatchConfig,
     PGDConfig,
     WhiteboxConfig,
@@ -160,12 +159,13 @@ def dispatch_attack(
             codes = enc(enc_params, avg_pool(adv, factor))
             return jnp.mean((codes - ref_codes) ** 2)
 
-        steps = 1 if attack == "fgsm" else cfg.pgd_steps
-        pcfg = PGDConfig(
-            # [-1,1] range is 2x the [0,1] recipe: scale eps AND alpha
-            eps=cfg.pgd_eps * 2.0, alpha=cfg.pgd_alpha * 2.0,
-            steps=steps, random_start=(attack == "pgd"),
-        )
+        eps = cfg.pgd_eps * 2.0  # [-1,1] range is 2x the [0,1] recipe
+        if attack == "fgsm":
+            # FGSM = one full-eps signed step (alpha == eps), no random start
+            pcfg = PGDConfig(eps=eps, alpha=eps, steps=1, random_start=False)
+        else:
+            pcfg = PGDConfig(eps=eps, alpha=cfg.pgd_alpha * 2.0,
+                             steps=cfg.pgd_steps, random_start=True)
         adv, _ = make_pgd(loss, pcfg)(inputs, key, pipeline.enc_vars, latent_org)
         return [adv]
 
@@ -195,10 +195,12 @@ def dispatch_attack(
         clean_logits = jax.jit(logits_fn)(clf_vars, inputs)
         labels = jnp.argmax(clean_logits, axis=-1)
         attack_fn = make_cw(
-            lambda x: logits_fn(clf_vars, x),
+            # params thread through as attack args, not closures; the adapter
+            # signature is (params, images) while make_cw passes (images, *args)
+            lambda x, p: logits_fn(p, x),
             CWConfig(steps=cfg.cw_steps, lr=0.01),  # c = reference 1e-4 default
         )
-        adv, _ = attack_fn(inputs, labels)
+        adv, _ = attack_fn(inputs, labels, clf_vars)
         return [adv]
 
     if attack == "adv_generate":
