@@ -262,3 +262,21 @@ class TestFusionPGDDispatch:
                                  cfg, jax.random.key(32))
         assert adv.shape == inputs.shape
         assert float(jnp.max(jnp.abs(adv - inputs))) <= 0.04 + 1e-5
+
+
+class TestRealismScoring:
+    def test_discriminator_scores_in_results(self, pipeline, batch):
+        from tpufusion.configs import AttackRunConfig
+        from tpufusion.models.discriminator import create_discriminator
+
+        inputs, target = batch
+        d, d_vars = create_discriminator(32, jax.random.key(50),
+                                         channel_multiplier=1,
+                                         policy=pipeline.policy)
+        cfg = AttackRunConfig(dataset_name="church", attacks=("dp_noise",),
+                              scale=0.2, save_img=False)
+        results = run_experiment(pipeline, cfg, inputs, target,
+                                 jax.random.key(51), discriminator=(d, d_vars))
+        assert results["realism"]["inputs"].shape == (inputs.shape[0],)
+        assert results["realism"]["fused_spatial"].shape == (1,)
+        assert results["dp_noise"][0]["adv_realism"].shape == (1,)

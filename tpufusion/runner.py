@@ -226,6 +226,7 @@ def run_experiment(
     target_img: jax.Array,
     key: jax.Array,
     save_root: Optional[str] = None,
+    discriminator=None,
 ) -> dict:
     """One full attack evaluation on one fusion batch: benign fusion (both
     modes), attack, partial fusion (both modes), metric table, artifacts.
@@ -239,6 +240,21 @@ def run_experiment(
 
     b_sp, singles_sp, feats = benign_fusion(pipeline.drawer, all_latents, "spatial")
     b_ar, singles_ar, _ = benign_fusion(pipeline.drawer, all_latents, "arithmetic")
+
+    # optional realism scoring (C22): the reference loads a stylegan2-ada D
+    # and (in commented blocks, `attack_main2.py:1029-1032,1091-1094`) prints
+    # D logits of inputs / fused images
+    def _realism(imgs):
+        if discriminator is None:
+            return None
+        d, d_vars = discriminator
+        from tpufusion.models.discriminator import realism_scores
+
+        return jax.jit(lambda v, x: realism_scores(d, v, x))(d_vars, imgs)
+
+    results["realism"] = dict(
+        inputs=_realism(inputs), fused_spatial=_realism(b_sp),
+    ) if discriminator is not None else None
     # spatial singles come back in the reference's reconstruction order —
     # pair each input with ITS OWN reconstruction for the rec loss
     from tpufusion.fusion.spatial import recon_index
@@ -291,6 +307,7 @@ def run_experiment(
             table.add_batch(noise, cri_sp, cri_ar, vg_sp, vg_ar, ss_sp, ss_ar)
             attack_results.append(dict(
                 adv_inputs=adv, noise=noise,
+                adv_realism=_realism(part_sp[-1:]),
                 partial_spatial=part_sp, partial_arith=part_ar,
                 cri_spatial=cri_sp, cri_arith=cri_ar,
                 vg_spatial=vg_sp, vg_arith=vg_ar,
