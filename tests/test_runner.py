@@ -117,6 +117,52 @@ class TestCLI:
         ds_dir = tmp_path / "church"
         assert ds_dir.exists() and any(ds_dir.iterdir())
 
+    def test_attack_run_cli_with_config_preset(self, tmp_path):
+        """JSON preset drives the run; explicit CLI flags override it."""
+        import json
+
+        from tpufusion.cli.attack_run import main
+
+        preset = tmp_path / "preset.json"
+        preset.write_text(json.dumps({
+            "dataset_name": "church",
+            "attacks": ["dp_noise"],
+            "scale": 0.2,
+        }))
+        rc = main([
+            "--config", str(preset), "--tiny", "--size", "32",
+            "--save_dir", str(tmp_path / "runs"),
+        ])
+        assert rc == 0
+        assert (tmp_path / "runs" / "church").exists()
+
+    def test_load_config_presets_parse(self):
+        """Every shipped configs/*.json preset loads into AttackRunConfig."""
+        import glob
+
+        from tpufusion.configs import load_config
+
+        root = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "configs")
+        presets = sorted(glob.glob(os.path.join(root, "*.json")))
+        assert len(presets) >= 5
+        for p in presets:
+            cfg = load_config(p)
+            assert cfg.dataset_name in ("ffhq", "car", "church")
+            assert cfg.attacks
+
+    def test_load_config_rejects_unknown_keys(self, tmp_path):
+        import json
+
+        import pytest as _pytest
+
+        from tpufusion.configs import load_config
+
+        bad = tmp_path / "bad.json"
+        bad.write_text(json.dumps({"dataset_name": "ffhq", "no_such_key": 1}))
+        with _pytest.raises(ValueError, match="no_such_key"):
+            load_config(str(bad))
+
     def test_invert_cli(self, tmp_path):
         import numpy as _np
         from PIL import Image

@@ -22,6 +22,9 @@ import time
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="tpufusion attack driver")
+    p.add_argument("--config", default=None,
+                   help="JSON preset from configs/ (CLI flags that are "
+                        "explicitly set override preset values)")
     p.add_argument("--dataset", default="ffhq", choices=["ffhq", "car", "church"])
     p.add_argument("--attacks", nargs="*", default=["dp_noise"],
                    help="attack names (see tpufusion.configs.ATTACK_CHOICES)")
@@ -75,7 +78,43 @@ def main(argv=None) -> int:
     from tpufusion.runner import generate_inputs, run_experiment
 
     pool = seed_everything(args.seed)
-    cfg = AttackRunConfig(
+    if args.config:
+        from tpufusion.configs import load_config
+
+        cfg = load_config(args.config)
+        # CLI flags the user explicitly set override the preset
+        defaults = build_parser().parse_args([])
+        for cli_key, cfg_key in [
+            ("dataset", "dataset_name"), ("lr", "lr"), ("n_iters", "n_iters"),
+            ("max_count", "max_count"), ("patch_type", "patch_type"),
+            ("patch_size", "patch_size"), ("paste_times", "paste_times"),
+            ("scale", "scale"), ("pgd_steps", "pgd_steps"),
+            ("train_size", "train_size"), ("test_size", "test_size"),
+            ("size", "image_size"),
+        ]:
+            val = getattr(args, cli_key)
+            if val != getattr(defaults, cli_key) and val is not None:
+                setattr(cfg, cfg_key, val)
+        if args.attacks != defaults.attacks:
+            cfg.attacks = tuple(args.attacks)
+        for cli_key, path_key in [
+            ("images_dir", "images_dir"), ("save_dir", "save_dir"),
+            ("stylegan_ckpt", "stylegan_ckpt"), ("e4e_ckpt", "e4e_ckpt"),
+            ("vgg_ckpt", "vgg_ckpt"), ("fusion_weights", "fusion_weights"),
+            ("target_image", "target_image"),
+            ("adv_inputs_path", "adv_inputs_path"),
+        ]:
+            val = getattr(args, cli_key)
+            if val != getattr(defaults, cli_key) and val is not None:
+                setattr(cfg.paths, path_key, val)
+        args.dataset = cfg.dataset_name
+        args.save_dir = cfg.paths.save_dir
+        if cfg.image_size is not None:
+            args.size = cfg.image_size
+        _run_cfg = cfg
+    else:
+        _run_cfg = None
+    cfg = _run_cfg if _run_cfg is not None else AttackRunConfig(
         dataset_name=args.dataset, attacks=tuple(args.attacks), lr=args.lr,
         n_iters=args.n_iters, which_adv=args.which_adv, max_count=args.max_count,
         whitebox_execution="stepwise" if args.whitebox_stepwise else "scan",

@@ -126,3 +126,36 @@ class AttackRunConfig:
             which = ",".join(str(i) for i in self.which_adv)
             return f"{ds}_{attack}_{self.iters_for(generator_size)}_{self.lr:.5f}_[{which}]"
         return f"{ds}_{attack}"
+
+
+def load_config(path: str, **overrides) -> AttackRunConfig:
+    """Load an ``AttackRunConfig`` from a JSON preset file.
+
+    JSON keys mirror the dataclass fields; the nested ``paths`` object maps to
+    :class:`PathsConfig`.  ``overrides`` (non-None values only) take precedence
+    over the file, so CLI flags can refine a preset.  Presets shipped with the
+    repo live in ``configs/`` (replacing the reference's hard-coded
+    `paths_config.py:1-33` + argparse defaults, SURVEY §7).
+    """
+    import json
+
+    with open(path) as f:
+        raw = json.load(f)
+    raw.pop("_comment", None)
+    paths = PathsConfig(**raw.pop("paths", {}))
+    field_names = {f.name for f in dataclasses.fields(AttackRunConfig)}
+    unknown = set(raw) - field_names
+    if unknown:
+        raise ValueError(f"unknown config keys in {path}: {sorted(unknown)}")
+    for seq_key in ("attacks", "hybrid_adv_dirs", "encoder_units"):
+        if seq_key in raw:
+            raw[seq_key] = tuple(raw[seq_key])
+    cfg = AttackRunConfig(paths=paths, **raw)
+    for k, v in overrides.items():
+        if v is None:
+            continue
+        if k.startswith("paths."):
+            setattr(cfg.paths, k[6:], v)
+        else:
+            setattr(cfg, k, v)
+    return cfg

@@ -33,10 +33,21 @@ def create_mesh(
     """Build a ('data','model') mesh over the available devices."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
+    if n < model:
+        raise ValueError(
+            f"requested model={model} tensor-parallel shards but only {n} "
+            f"device(s) are available ({[d.platform for d in devices]}); "
+            "force a virtual CPU backend with "
+            "XLA_FLAGS=--xla_force_host_platform_device_count=N to test "
+            "multi-device meshes on one host"
+        )
     if data is None:
         data = n // model
-    if data * model != n:
-        raise ValueError(f"mesh {data}x{model} != {n} devices")
+    if data < 1 or data * model != n:
+        raise ValueError(
+            f"cannot build a data={data} x model={model} mesh from {n} "
+            f"device(s): axis product {data * model} != device count {n}"
+        )
     arr = np.asarray(devices).reshape(data, model)
     return Mesh(arr, ("data", "model"))
 
