@@ -1,0 +1,245 @@
+"""Reference-image parity harness (VERDICT r1 next#3; BASELINE north star
+"reference fused/adv images within float tolerance").
+
+Reproduces the reference's committed result images from their own recorded
+inputs and diffs against the originals in ``/root/reference/images``:
+
+- ``{mode}_org_inputs_0.jpg``      (5-panel montage) -> crop panels, encode
+  with e4e, fuse -> compare to ``{mode}_org_fusion_0.jpg`` (the benign fused
+  image, `interpolation.py:1033-1074`) and ``{mode}_org_without_fusion_0.jpg``
+  (per-latent reconstructions, `attack_main2.py:532-542`).
+- ``arith_adv_inputs_0_all.jpg``   (adversarial inputs montage) -> encode,
+  partial-fuse -> compare to ``{mode}_partial_fusion_0_all.jpg``
+  (`interpolation.py:921-1031`).
+
+With real converted checkpoints (``--stylegan_ckpt/--e4e_ckpt/
+--fusion_weights``) the comparison is the end-to-end numerical-parity claim;
+tolerances default to JPEG-round-trip scale (MAE 0.05 in [0,1]).
+
+CI mode (``--ci``) runs the identical plumbing against a synthetic tiny
+pipeline: it first *exports* a reference-layout image set from generator
+outputs, then checks itself against those files — exercising montage
+geometry, panel cropping, encoding, both fusion modes and the partial
+harness without any external checkpoint.
+
+Usage:
+  python tools/parity_check.py --images /root/reference/images \
+      --stylegan_ckpt g.pt --e4e_ckpt e4e.pt --fusion_weights w.json
+  python tools/parity_check.py --ci
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+MODES = {"arith": "arithmetic", "spatial": "spatial"}
+
+
+def mae(a, b) -> float:
+    """Mean absolute error in [0,1] units between two [-1,1] arrays."""
+    import numpy as np
+
+    return float(np.mean(np.abs(np.asarray(a, np.float32) - np.asarray(b, np.float32)))) / 2.0
+
+
+def psnr(a, b) -> float:
+    import numpy as np
+
+    m = np.mean((np.asarray(a, np.float32) / 2 - np.asarray(b, np.float32) / 2) ** 2)
+    return float(10.0 * np.log10(4.0 / max(m, 1e-12)))
+
+
+def _load_panels(path: str, n: int, size: int):
+    from tpufusion.data.adv_inputs import crop_montage_panels
+
+    return crop_montage_panels(path, n, size)
+
+
+def check_mode(pipeline, images_dir: str, mode: str, out_dir: str | None,
+               tolerance: float):
+    """Run the parity comparison for one fusion mode; returns result rows."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpufusion.data.adv_inputs import crop_montage_panels
+    from tpufusion.eval.partial import benign_fusion, partial_adv_fusion
+    from tpufusion.fusion.spatial import ROLE_MAPS
+    from tpufusion.io import load_image, save_image, save_montage
+
+    n = len(ROLE_MAPS[pipeline.dataset]["roles"])
+    size = pipeline.image_size
+    fusion_mode = MODES[mode]
+    rows = []
+
+    inputs_path = os.path.join(images_dir, f"{mode}_org_inputs_0.jpg")
+    if not os.path.exists(inputs_path):
+        return [dict(mode=mode, target="org_inputs", status="missing",
+                     path=inputs_path)]
+    inputs = jnp.asarray(crop_montage_panels(inputs_path, n, size))
+    latents = pipeline.get_latents(inputs)
+    fused, singles, _ = benign_fusion(pipeline.drawer, latents, fusion_mode)
+
+    def compare(name: str, ours, ref_path: str, panels: int | None = None):
+        if not os.path.exists(ref_path):
+            rows.append(dict(mode=mode, target=name, status="missing",
+                             path=ref_path))
+            return
+        if panels is None:
+            ref = jnp.asarray(load_image(ref_path))
+            ours_arr = np.asarray(ours)
+            if ours_arr.ndim == 3:
+                ours_arr = ours_arr[None]
+        else:
+            ref = jnp.asarray(crop_montage_panels(ref_path, panels, size))
+            ours_arr = np.asarray(ours)
+        # compare in the 8-bit-clipped domain the files live in
+        ours_arr = np.clip(ours_arr, -1.0, 1.0)
+        err = mae(ours_arr, ref)
+        rows.append(dict(
+            mode=mode, target=name, status="ok" if err <= tolerance else "FAIL",
+            mae=round(err, 5), psnr=round(psnr(np.clip(ours_arr, -1, 1), ref), 2),
+            tolerance=tolerance,
+        ))
+        if out_dir:
+            dst = os.path.join(out_dir, f"{mode}_{name}_ours.jpg")
+            if panels is None:
+                save_image(ours_arr, dst)
+            else:
+                save_montage(ours_arr, dst, nrow=panels)
+
+    compare("org_fusion", fused[0] if fused.ndim == 4 else fused,
+            os.path.join(images_dir, f"{mode}_org_fusion_0.jpg"))
+    compare("org_without_fusion", singles,
+            os.path.join(images_dir, f"{mode}_org_without_fusion_0.jpg"),
+            panels=n)
+
+    # partial fusion from the recorded adversarial inputs (shared between
+    # modes in the reference driver, `interpolation.py:1401-1402`)
+    for cand in (f"{mode}_adv_inputs_0_all.jpg", "arith_adv_inputs_0_all.jpg"):
+        adv_path = os.path.join(images_dir, cand)
+        if os.path.exists(adv_path):
+            adv_inputs = jnp.asarray(crop_montage_panels(adv_path, n, size))
+            adv_latents = pipeline.get_latents(adv_inputs)
+            partial = partial_adv_fusion(pipeline.drawer, latents, adv_latents,
+                                         fusion_mode)
+            compare("partial_fusion_all", partial,
+                    os.path.join(images_dir, f"{mode}_partial_fusion_0_all.jpg"),
+                    panels=n + 1)
+            break
+    return rows
+
+
+def export_reference_layout(pipeline, out_dir: str, key) -> str:
+    """Produce a reference-layout image set from the pipeline itself (CI
+    oracle): org_inputs/org_fusion/org_without_fusion/partial per mode, with
+    the reference's exact montage geometry and filenames
+    (`interpolation.py:951-1074` save calls)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpufusion.eval.partial import benign_fusion, partial_adv_fusion
+    from tpufusion.fusion.spatial import ROLE_MAPS
+    from tpufusion.io import save_image, save_montage
+
+    n = len(ROLE_MAPS[pipeline.dataset]["roles"])
+    os.makedirs(out_dir, exist_ok=True)
+    z = jax.random.normal(key, (n, 512))
+    inputs, _ = pipeline.drawer.z_to_image(z)
+    inputs = jnp.clip(jnp.asarray(inputs), -1.0, 1.0)
+    adv = jnp.clip(inputs + 0.1 * jax.random.normal(
+        jax.random.fold_in(key, 1), inputs.shape), -1.0, 1.0)
+
+    for mode, fusion_mode in MODES.items():
+        save_montage(inputs, os.path.join(out_dir, f"{mode}_org_inputs_0.jpg"),
+                     nrow=n)
+        save_montage(adv, os.path.join(out_dir, f"{mode}_adv_inputs_0_all.jpg"),
+                     nrow=n)
+        latents = pipeline.get_latents(inputs)
+        adv_latents = pipeline.get_latents(adv)
+        fused, singles, _ = benign_fusion(pipeline.drawer, latents, fusion_mode)
+        save_image(fused[0] if fused.ndim == 4 else fused,
+                   os.path.join(out_dir, f"{mode}_org_fusion_0.jpg"))
+        save_montage(singles,
+                     os.path.join(out_dir, f"{mode}_org_without_fusion_0.jpg"),
+                     nrow=n)
+        partial = partial_adv_fusion(pipeline.drawer, latents, adv_latents,
+                                     fusion_mode)
+        save_montage(partial,
+                     os.path.join(out_dir, f"{mode}_partial_fusion_0_all.jpg"),
+                     nrow=n + 1)
+    return out_dir
+
+
+def run(argv=None) -> int:
+    p = argparse.ArgumentParser(description="reference-image parity check")
+    p.add_argument("--images", default="/root/reference/images",
+                   help="directory with the reference result images")
+    p.add_argument("--dataset", default="ffhq",
+                   choices=["ffhq", "car", "church"])
+    p.add_argument("--modes", nargs="*", default=["arith", "spatial"],
+                   choices=["arith", "spatial"])
+    p.add_argument("--stylegan_ckpt", default=None)
+    p.add_argument("--e4e_ckpt", default=None)
+    p.add_argument("--vgg_ckpt", default=None)
+    p.add_argument("--fusion_weights", default=None)
+    p.add_argument("--size", type=int, default=None)
+    p.add_argument("--tolerance", type=float, default=0.05,
+                   help="max MAE in [0,1] (JPEG round-trip scale)")
+    p.add_argument("--out", default=None, help="write our regenerated images here")
+    p.add_argument("--ci", action="store_true",
+                   help="self-check with a synthetic tiny pipeline")
+    p.add_argument("--json", dest="json_out", default=None)
+    args = p.parse_args(argv)
+
+    import jax
+
+    if args.ci or os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    if args.ci:
+        from tpufusion.pipeline import create_test_pipeline
+
+        pipeline = create_test_pipeline(args.dataset, jax.random.key(0),
+                                        size=args.size or 32)
+        images_dir = args.out or "runs/parity_ci"
+        export_reference_layout(pipeline, images_dir, jax.random.key(1))
+        tolerance = max(args.tolerance, 0.15)  # random-init models + 2x JPEG
+        out_dir = None
+    else:
+        from tpufusion.cli.attack_run import _maybe_load_checkpoints
+        from tpufusion.configs import PathsConfig
+        from tpufusion.pipeline import FusionPipeline
+
+        pipeline = FusionPipeline.create(args.dataset, jax.random.key(0),
+                                         size=args.size)
+        pipeline = _maybe_load_checkpoints(pipeline, PathsConfig(
+            stylegan_ckpt=args.stylegan_ckpt, e4e_ckpt=args.e4e_ckpt,
+            vgg_ckpt=args.vgg_ckpt, fusion_weights=args.fusion_weights,
+        ))
+        if not (args.stylegan_ckpt and args.e4e_ckpt):
+            print("[parity] WARNING: no real checkpoints given — models are "
+                  "random-init; comparisons measure plumbing, not parity")
+        images_dir, tolerance, out_dir = args.images, args.tolerance, args.out
+
+    all_rows = []
+    for mode in args.modes:
+        all_rows += check_mode(pipeline, images_dir, mode, out_dir, tolerance)
+
+    failed = [r for r in all_rows if r["status"] == "FAIL"]
+    for r in all_rows:
+        print("[parity]", json.dumps(r))
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(all_rows, f, indent=2)
+    print(f"[parity] {len(all_rows) - len(failed)}/{len(all_rows)} targets "
+          f"within tolerance {tolerance}")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(run())
