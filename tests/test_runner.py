@@ -274,6 +274,62 @@ class TestResumePaths:
         assert rc == 0
 
 
+class TestClassifierTransfer:
+    def test_pgd_classifier_dispatch_bounded_and_flips(self, pipeline, batch):
+        """The reference PGD recipe (`interpolation.py:1343`) as a
+        dispatchable attack: eps-ball bounded, classifier-targeted."""
+        import jax as _jax
+
+        from tpufusion.runner import dispatch_attack
+
+        cfg = AttackRunConfig(dataset_name=pipeline.dataset,
+                              pgd_steps=5, pgd_eps=0.1, pgd_alpha=0.05)
+        inputs, target = batch
+        (adv,) = dispatch_attack(pipeline, "pgd_classifier", inputs, target,
+                                 cfg, _jax.random.key(3))
+        delta = np.abs(np.asarray(adv) - np.asarray(inputs))
+        assert delta.max() <= cfg.pgd_eps * 2.0 + 1e-5
+        assert delta.max() > 1e-4  # actually perturbed
+        assert np.asarray(adv).min() >= -1.0 and np.asarray(adv).max() <= 1.0
+
+    def test_pgd_classifier_car_uses_vit(self, batch):
+        import jax as _jax
+
+        from tpufusion.pipeline import create_test_pipeline
+        from tpufusion.runner import classifier_for
+
+        car = create_test_pipeline("car", _jax.random.key(0), size=32)
+        cfg = AttackRunConfig(dataset_name="car")
+        logits_fn, variables = classifier_for(car, cfg, _jax.random.key(1))
+        logits = logits_fn(variables, jnp.zeros((2, 32, 32, 3)))
+        assert logits.shape == (2, 8)  # tiny ViT head
+
+    def test_transfer_chain_e2e(self, pipeline, batch, tmp_path):
+        """generate -> persist -> adv_generate reload -> fuse, one call;
+        the reloaded crops must drive the same partial-fusion evaluation."""
+        import jax as _jax
+
+        from tpufusion.runner import run_transfer_chain
+
+        cfg = AttackRunConfig(dataset_name=pipeline.dataset, pgd_steps=2)
+        inputs, target = batch
+        chain = run_transfer_chain(pipeline, cfg, inputs, target,
+                                   _jax.random.key(5), str(tmp_path))
+        assert os.path.exists(chain["adv_inputs_path"])
+        gen_adv = np.asarray(chain["generate"]["pgd_classifier"][0]["adv_inputs"])
+        fuse_adv = np.asarray(chain["fuse"]["adv_generate"][0]["adv_inputs"])
+        np.testing.assert_allclose(fuse_adv, gen_adv, atol=1e-6)
+        r = chain["fuse"]["adv_generate"][0]
+        n = inputs.shape[0]
+        assert r["partial_spatial"].shape[0] == n + 1
+        assert r["ssim_spatial"].shape == (n + 1,)
+        # the montage form of the crops is persisted too (the reference's
+        # reload format, interpolation.py:1379-1394)
+        run_dir = chain["generate"]["_run_dirs"]["pgd_classifier"]
+        assert os.path.exists(
+            os.path.join(run_dir, f"{pipeline.dataset}_adv_images.jpg"))
+
+
 class TestCWDispatch:
     def test_cw_attack_dispatch(self, pipeline, batch):
         from tpufusion.configs import AttackRunConfig

@@ -48,6 +48,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--train_size", type=int, default=2000)
     p.add_argument("--test_size", type=int, default=1000)
     p.add_argument("--hybrid_adv", action="store_true")
+    p.add_argument("--transfer_chain", action="store_true",
+                   help="run the classifier-transfer chain: attack the "
+                        "surrogate classifier, persist crops, reload via "
+                        "adv_generate, fuse (interpolation.py:1331-1394)")
     p.add_argument("--hybrid_from_dirs", nargs="*", default=None,
                    help="existing attack run dirs (under save_dir/dataset) to "
                         "splice a hybrid batch from (--hybrid_adv_from_existing)")
@@ -189,6 +193,21 @@ def main(argv=None) -> int:
         z = jax.random.normal(jax.random.key(7777), (1, 512)) * 2.0
         target, _ = pipeline.drawer.z_to_image(z)
         target = jnp.asarray(target)
+
+    if args.transfer_chain:
+        from tpufusion.runner import run_transfer_chain
+
+        attack = cfg.attacks[0] if cfg.attacks[0] in (
+            "pgd_classifier", "cw_classifier", "cw") else "pgd_classifier"
+        chain = run_transfer_chain(
+            pipeline, cfg, inputs, target, pool.next(), dataset_dir,
+            attack=attack,
+        )
+        r = chain["fuse"]["adv_generate"][0]
+        print(f"[attack_run] transfer chain ({attack} -> adv_generate): "
+              f"input-noise MSE {float(jnp.mean(r['noise'])):.5f}, crops at "
+              f"{chain['adv_inputs_path']}")
+        return 0
 
     results = run_experiment(
         pipeline, cfg, inputs, target, pool.next(),

@@ -26,7 +26,9 @@ ATTACK_CHOICES = (
     "out_domain_single",
     "adv_generate",
     "pgd",
+    "pgd_classifier",
     "cw",
+    "cw_classifier",
     "fgsm",
     "fusion_pgd_arith",
     "fusion_pgd_spatial",
@@ -46,6 +48,8 @@ class PathsConfig:
     target_image: Optional[str] = None  # vase1.png analog
     discriminator_ckpt: Optional[str] = None  # stylegan2-ada pkl (D)
     adv_inputs_path: Optional[str] = None  # precomputed adv inputs (adv_generate)
+    gender_classifier_ckpt: Optional[str] = None  # face_gender_classification_256_1.pth
+    car_vit_dir: Optional[str] = None  # stanford-car-vit-patch16 local dir
 
 
 @dataclasses.dataclass

@@ -83,6 +83,31 @@ def generate_inputs(pipeline: FusionPipeline, n_imgs: int, key) -> jax.Array:
     return jnp.clip(jnp.concatenate(imgs, axis=0), -1.0, 1.0)
 
 
+def classifier_for(pipeline: FusionPipeline, cfg: AttackRunConfig, key):
+    """The transfer-attack surrogate classifier per dataset
+    (`interpolation.py:1331-1365`): ffhq/church -> torchvision-resnet18 gender
+    model (2-way head), car -> stanford-car ViT-patch16.  Returns
+    ``(logits_fn, variables)`` with ``logits_fn(variables, images) -> (B,K)``.
+
+    Tiny pipelines (size <= 64) get a proportionally tiny ViT so CPU tests
+    exercise the same path."""
+    if pipeline.dataset == "car":
+        from tpufusion.models.classifiers import create_vit_classifier
+
+        if cfg.paths.car_vit_dir:
+            return create_vit_classifier(196, pretrained_dir=cfg.paths.car_vit_dir)
+        if pipeline.image_size <= 64:
+            return create_vit_classifier(
+                8, image_size=32, patch_size=8, hidden_size=32,
+                num_layers=2, num_heads=2, intermediate_size=64,
+            )
+        return create_vit_classifier(196)
+    from tpufusion.models.classifiers import load_gender_classifier
+
+    return load_gender_classifier(cfg.paths.gender_classifier_ckpt, key=key,
+                                  policy=pipeline.policy)
+
+
 def dispatch_attack(
     pipeline: FusionPipeline,
     attack: str,
@@ -183,15 +208,41 @@ def dispatch_attack(
         adv, _ = make_fusion_attack(pipeline, facfg)(inputs, target_img, key)
         return [adv]
 
-    if attack == "cw":
-        # classifier-based CW (`interpolation.py:1357`): tanh-space Adam on the
-        # gender classifier's logits; random-init classifier unless a
-        # checkpoint is configured
-        from tpufusion.attacks.cw import CWConfig, make_cw
-        from tpufusion.models.classifiers import load_gender_classifier
+    if attack == "pgd_classifier":
+        # the reference classifier-transfer PGD recipe (`interpolation.py:
+        # 1343`): PGD(model, eps=8/255, alpha=0.01, steps=100, random_start)
+        # ascending the CE of the surrogate classifier's clean-prediction
+        # labels; the perturbed crops then transfer into the fusion pipeline.
+        # The resize to the classifier input happens INSIDE the
+        # differentiated graph (logits_fn), so the perturbation lives at full
+        # fusion resolution — no resize-back step (`interpolation.py:1361-65`)
+        # is needed.
+        import optax
 
-        logits_fn, clf_vars = load_gender_classifier(None, key=key,
-                                                     policy=pipeline.policy)
+        logits_fn, clf_vars = classifier_for(pipeline, cfg, key)
+        labels = jnp.argmax(jax.jit(logits_fn)(clf_vars, inputs), axis=-1)
+
+        def ce_loss(adv, clf_params, labels_):
+            logits = logits_fn(clf_params, adv)
+            return jnp.mean(optax.softmax_cross_entropy_with_integer_labels(
+                logits, labels_))
+
+        pcfg = PGDConfig(eps=cfg.pgd_eps * 2.0, alpha=cfg.pgd_alpha * 2.0,
+                         steps=cfg.pgd_steps, random_start=True)
+        adv, _ = make_pgd(ce_loss, pcfg)(inputs, key, clf_vars, labels)
+        if run_dir:
+            # persist the transfer crops exactly how the reference reloads
+            # them (`interpolation.py:1379-1394`): a padded montage image
+            save_montage(adv, os.path.join(
+                run_dir, f"{cfg.dataset_name}_adv_images.jpg"), nrow=inputs.shape[0])
+        return [adv]
+
+    if attack in ("cw", "cw_classifier"):
+        # classifier-based CW (`interpolation.py:1357`, car recipe): tanh-space
+        # Adam on the surrogate classifier's logits
+        from tpufusion.attacks.cw import CWConfig, make_cw
+
+        logits_fn, clf_vars = classifier_for(pipeline, cfg, key)
         clean_logits = jax.jit(logits_fn)(clf_vars, inputs)
         labels = jnp.argmax(clean_logits, axis=-1)
         attack_fn = make_cw(
@@ -201,6 +252,9 @@ def dispatch_attack(
             CWConfig(steps=cfg.cw_steps, lr=0.01),  # c = reference 1e-4 default
         )
         adv, _ = attack_fn(inputs, labels, clf_vars)
+        if run_dir:
+            save_montage(adv, os.path.join(
+                run_dir, f"{cfg.dataset_name}_adv_images.jpg"), nrow=inputs.shape[0])
         return [adv]
 
     if attack == "adv_generate":
@@ -326,6 +380,7 @@ def run_experiment(
             store.flush()
             table.save(os.path.join(run_dir, "new_mask.xlsx"))
         results[attack] = attack_results
+        results.setdefault("_run_dirs", {})[attack] = run_dir
 
     if cfg.hybrid_adv and len(cfg.attacks) >= 1:
         pieces = [results[a][0]["adv_inputs"] for a in cfg.attacks]
@@ -339,3 +394,36 @@ def run_experiment(
             save_image(h_sp, os.path.join(hdir, "hybrid_fusion.jpg"))
 
     return results
+
+
+def run_transfer_chain(
+    pipeline: FusionPipeline,
+    cfg: AttackRunConfig,
+    inputs: jax.Array,
+    target_img: jax.Array,
+    key: jax.Array,
+    save_root: str,
+    attack: str = "pgd_classifier",
+) -> dict:
+    """The reference's classifier-transfer flow as ONE call
+    (`interpolation.py:1331-1394`): (1) attack the surrogate classifier and
+    persist the adversarial crops (montage + npz), (2) reload them through the
+    ``adv_generate`` path and run the full fusion evaluation — the
+    generate -> save -> adv_generate -> fuse chain the reference spreads over
+    two driver invocations.
+
+    Returns ``dict(generate=<stage-1 results>, fuse=<stage-2 results>,
+    adv_inputs_path=<the persisted npz>)``."""
+    import dataclasses as _dc
+
+    gen_cfg = _dc.replace(cfg, attacks=(attack,))
+    stage1 = run_experiment(pipeline, gen_cfg, inputs, target_img, key,
+                            save_root=save_root)
+    run_dir = stage1["_run_dirs"][attack]
+    adv_path = os.path.join(run_dir, "adversarial", "all_adv_inputs.npz")
+
+    fuse_paths = _dc.replace(cfg.paths, adv_inputs_path=adv_path)
+    fuse_cfg = _dc.replace(cfg, attacks=("adv_generate",), paths=fuse_paths)
+    stage2 = run_experiment(pipeline, fuse_cfg, inputs, target_img,
+                            jax.random.fold_in(key, 1), save_root=save_root)
+    return dict(generate=stage1, fuse=stage2, adv_inputs_path=adv_path)
