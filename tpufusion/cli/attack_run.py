@@ -29,6 +29,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--attacks", nargs="*", default=["dp_noise"],
                    help="attack names (see tpufusion.configs.ATTACK_CHOICES)")
     p.add_argument("--images_dir", default=None)
+    p.add_argument("--align", action="store_true",
+                   help="FFHQ-align raw images before encoding (needs a "
+                        "landmark provider: --landmark_net weights or dlib)")
+    p.add_argument("--landmark_net", default=None,
+                   help="trained LandmarkNet weights (.npz) for --align")
+    p.add_argument("--dlib_predictor", default=None,
+                   help="dlib shape-predictor .dat for --align (if dlib is "
+                        "installed)")
     p.add_argument("--target_image", default=None)
     p.add_argument("--save_dir", default="runs")
     p.add_argument("--size", type=int, default=None, help="generator size override")
@@ -176,13 +184,44 @@ def main(argv=None) -> int:
         inputs = load_existing_inputs(args.inputs_path, n, pipeline.image_size)
         print(f"[attack_run] reusing saved inputs from {args.inputs_path}")
     elif args.images_dir:
-        ds = ImageFolderDataset(args.images_dir, transform=transform_for(args.dataset))
+        preprocess = None
+        if args.align:
+            from tpufusion.data.alignment import make_align_preprocess
+
+            if args.landmark_net:
+                from tpufusion.models.landmarks import (
+                    load_landmark_net,
+                    make_landmark_provider,
+                )
+
+                lnet, lvars = load_landmark_net(args.landmark_net)
+                landmarks_fn = make_landmark_provider(lnet, lvars)
+            elif args.dlib_predictor:
+                from tpufusion.models.landmarks import dlib_landmark_provider
+
+                landmarks_fn = dlib_landmark_provider(args.dlib_predictor)
+            else:
+                raise SystemExit(
+                    "--align needs --landmark_net <weights.npz> (see "
+                    "tpufusion.models.landmarks.train_landmark_net) or "
+                    "--dlib_predictor <file.dat>"
+                )
+            preprocess = make_align_preprocess(landmarks_fn)
+        ds = ImageFolderDataset(args.images_dir, transform=transform_for(args.dataset),
+                                preprocess=preprocess)
         _, test_loader = setup_loaders(
             ds, train_size=min(cfg.train_size, max(len(ds) - n, 0)),
             test_size=min(cfg.test_size, len(ds)), test_batch_size=n,
             seed=args.seed % (2**31),
         )
         inputs = jnp.asarray(next(iter(test_loader)))
+        if inputs.shape[1] != pipeline.image_size:
+            # dataset transforms emit the reference resolution; shrink when
+            # running a reduced-size pipeline (tests / quick runs)
+            from tpufusion.core.imaging import resize_bilinear
+
+            inputs = resize_bilinear(inputs, pipeline.image_size,
+                                     pipeline.image_size)
     else:
         print("[attack_run] no --images_dir: generating inputs from the generator")
         inputs = generate_inputs(pipeline, n, pool.next())

@@ -1,0 +1,246 @@
+"""68-point facial landmark providers for FFHQ alignment — reference C18.
+
+The reference gets landmarks from a dlib shape predictor
+(`utils/alignment.py:9-27`, model path `paths_config.py:30`); dlib is not
+shippable here, so this module provides the working detector the alignment
+path needs:
+
+- :class:`LandmarkNet` — a small TPU-native conv regressor predicting the 68
+  (x, y) points in normalised [0, 1] image coordinates.  Weights train with
+  :func:`train_landmark_net` (any (image, landmarks) supervision — the
+  synthetic-face generator below suffices for tests and smoke-training;
+  real FFHQ annotations drop in the same way).
+- :func:`make_landmark_provider` — adapts a trained net into the
+  ``landmarks_fn(path) -> (68, 2)`` callable that
+  ``data.alignment.make_align_preprocess`` consumes, returning pixel
+  coordinates of the ORIGINAL image.
+- :func:`dlib_landmark_provider` — optional import-guarded dlib adapter for
+  environments that do have dlib + the shape-predictor file (exact reference
+  behaviour, `utils/alignment.py:9-27`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpufusion.core.dtypes import Policy, default_policy
+
+N_LANDMARKS = 68
+
+
+class LandmarkNet(nn.Module):
+    """Strided-conv regressor: (N, S, S, 3) in [-1,1] -> (N, 68, 2) in [0,1].
+
+    Four stride-2 conv stages + global average pool + linear head — small
+    enough to train on host CPUs in tests, wide enough (MXU-aligned channel
+    counts) to be useful at real scale.
+    """
+
+    width: int = 32
+    policy: Policy = dataclasses.field(default_factory=default_policy)
+
+    @nn.compact
+    def __call__(self, x):
+        dt = self.policy.compute_dtype
+        pd = self.policy.param_dtype
+        y = x.astype(dt)
+        for i in range(4):
+            y = nn.Conv(self.width * (2 ** min(i, 2)), (3, 3), strides=2,
+                        padding=1, dtype=dt, param_dtype=pd, name=f"conv{i}")(y)
+            y = jax.nn.relu(y)
+        y = jnp.mean(y.astype(jnp.float32), axis=(1, 2))
+        y = nn.Dense(256, param_dtype=pd, name="fc1")(y)
+        y = jax.nn.relu(y)
+        y = nn.Dense(N_LANDMARKS * 2, param_dtype=pd, name="head")(y)
+        return jax.nn.sigmoid(y).reshape(y.shape[0], N_LANDMARKS, 2)
+
+
+def create_landmark_net(key, *, width: int = 32, image_size: int = 128,
+                        policy: Optional[Policy] = None):
+    policy = policy or default_policy()
+    net = LandmarkNet(width=width, policy=policy)
+    variables = jax.jit(net.init)(
+        key, jnp.zeros((1, image_size, image_size, 3), policy.compute_dtype))
+    return net, variables
+
+
+# ---------------------------------------------------------------------------
+# synthetic face supervision (tests / smoke training)
+# ---------------------------------------------------------------------------
+
+
+def _canonical_template() -> np.ndarray:
+    """A rough 68-point face template in [0,1]^2 (iBUG-68 ordering: chin 0-16,
+    brows 17-26, nose 27-35, eyes 36-47, mouth 48-67)."""
+    t = np.zeros((N_LANDMARKS, 2), np.float32)
+    # chin: lower half ellipse
+    ang = np.linspace(np.pi, 2 * np.pi, 17)
+    t[0:17, 0] = 0.5 + 0.32 * np.cos(ang)
+    t[0:17, 1] = 0.55 - 0.38 * np.sin(ang)
+    # brows
+    t[17:22, 0] = np.linspace(0.28, 0.44, 5)
+    t[17:22, 1] = 0.35
+    t[22:27, 0] = np.linspace(0.56, 0.72, 5)
+    t[22:27, 1] = 0.35
+    # nose bridge + nostrils
+    t[27:31, 0] = 0.5
+    t[27:31, 1] = np.linspace(0.42, 0.58, 4)
+    t[31:36, 0] = np.linspace(0.44, 0.56, 5)
+    t[31:36, 1] = 0.62
+    # eyes (hexagons)
+    for base, cx in ((36, 0.36), (42, 0.64)):
+        ea = np.linspace(0, 2 * np.pi, 6, endpoint=False)
+        t[base:base + 6, 0] = cx + 0.05 * np.cos(ea)
+        t[base:base + 6, 1] = 0.44 + 0.03 * np.sin(ea)
+    # mouth outer (12) + inner (8)
+    ma = np.linspace(0, 2 * np.pi, 12, endpoint=False)
+    t[48:60, 0] = 0.5 + 0.10 * np.cos(ma)
+    t[48:60, 1] = 0.74 + 0.05 * np.sin(ma)
+    mi = np.linspace(0, 2 * np.pi, 8, endpoint=False)
+    t[60:68, 0] = 0.5 + 0.05 * np.cos(mi)
+    t[60:68, 1] = 0.74 + 0.02 * np.sin(mi)
+    return t
+
+
+def synth_face_batch(rng: np.random.RandomState, n: int, size: int
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+    """Render n synthetic faces + ground-truth landmarks.
+
+    Faces are blob sketches (skin disc, dark eyes, mouth bar) under a random
+    similarity transform; landmarks are the transformed canonical template in
+    [0,1] coords.  Enough signal to train/validate the provider end-to-end.
+    """
+    tpl = _canonical_template()
+    imgs = np.full((n, size, size, 3), -1.0, np.float32)
+    lms = np.zeros((n, N_LANDMARKS, 2), np.float32)
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
+    for i in range(n):
+        scale = rng.uniform(0.7, 1.0)
+        theta = rng.uniform(-0.25, 0.25)
+        shift = rng.uniform(-0.08, 0.08, 2)
+        rot = np.array([[np.cos(theta), -np.sin(theta)],
+                        [np.sin(theta), np.cos(theta)]], np.float32)
+        pts = ((tpl - 0.5) * scale) @ rot.T + 0.5 + shift
+        lms[i] = pts
+        # skin: disc around the face centre
+        c = pts.mean(axis=0)
+        r2 = (xx - c[0]) ** 2 + (yy - c[1]) ** 2
+        face = np.exp(-r2 / (2 * (0.22 * scale) ** 2))
+        img = np.stack([face * 1.6 - 1.0, face * 1.2 - 1.0, face * 0.8 - 1.0], -1)
+        # eyes: dark blobs at eye centres; mouth: red blob
+        for sl, col, rad in ((slice(36, 42), (-1.0, -1.0, -1.0), 0.035),
+                             (slice(42, 48), (-1.0, -1.0, -1.0), 0.035),
+                             (slice(48, 60), (0.8, -0.6, -0.6), 0.05)):
+            ec = pts[sl].mean(axis=0)
+            blob = np.exp(-((xx - ec[0]) ** 2 + (yy - ec[1]) ** 2)
+                          / (2 * (rad * scale) ** 2))
+            for ch in range(3):
+                img[..., ch] = img[..., ch] * (1 - blob) + col[ch] * blob
+        imgs[i] = np.clip(img, -1.0, 1.0)
+    return imgs, lms
+
+
+def train_landmark_net(net: LandmarkNet, variables, images, landmarks, *,
+                       steps: int = 300, lr: float = 2e-3, batch: int = 32,
+                       seed: int = 0):
+    """Fit the net on (images in [-1,1] NHWC, landmarks in [0,1]) — one jitted
+    Adam step scanned over minibatches.  Returns (variables, loss_trace)."""
+    import optax
+
+    opt = optax.adam(lr)
+    images = jnp.asarray(images)
+    landmarks = jnp.asarray(landmarks)
+    n = images.shape[0]
+
+    def loss_fn(params, xb, yb):
+        pred = net.apply(params, xb)
+        return jnp.mean((pred - yb) ** 2)
+
+    @jax.jit
+    def run(params, key):
+        opt_state = opt.init(params)
+
+        def step(carry, key_i):
+            params, opt_state = carry
+            idx = jax.random.randint(key_i, (batch,), 0, n)
+            loss, g = jax.value_and_grad(loss_fn)(params, images[idx],
+                                                  landmarks[idx])
+            updates, opt_state = opt.update(g, opt_state)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        keys = jax.random.split(key, steps)
+        (params, _), trace = jax.lax.scan(step, (params, opt_state), keys)
+        return params, trace
+
+    return run(variables, jax.random.key(seed))
+
+
+# ---------------------------------------------------------------------------
+# providers
+# ---------------------------------------------------------------------------
+
+
+def make_landmark_provider(net: LandmarkNet, variables, *,
+                           net_input_size: int = 128) -> Callable:
+    """Adapt a trained LandmarkNet into ``landmarks_fn(path_or_image) ->
+    (68, 2) pixel coords`` for ``make_align_preprocess``."""
+    import PIL.Image
+
+    from tpufusion.core.imaging import from_uint8
+
+    predict = jax.jit(net.apply)
+
+    def landmarks_fn(image) -> np.ndarray:
+        if isinstance(image, str):
+            image = PIL.Image.open(image)
+        img = image.convert("RGB")
+        w, h = img.size
+        small = img.resize((net_input_size, net_input_size), PIL.Image.BILINEAR)
+        x = jnp.asarray(from_uint8(np.asarray(small))[None])
+        pts = np.asarray(predict(variables, x))[0]
+        return pts * np.array([w, h], np.float32)
+
+    return landmarks_fn
+
+
+def dlib_landmark_provider(predictor_path: str) -> Callable:
+    """Exact reference behaviour (`utils/alignment.py:9-27`) when dlib IS
+    available; raises ImportError otherwise (import-guarded)."""
+    import dlib  # optional dependency; absent in this deployment
+
+    detector = dlib.get_frontal_face_detector()
+    predictor = dlib.shape_predictor(predictor_path)
+
+    def landmarks_fn(path: str) -> np.ndarray:
+        img = dlib.load_rgb_image(path)
+        dets = detector(img, 1)
+        if not dets:
+            raise ValueError(f"no face detected in {path}")
+        shape = predictor(img, dets[0])
+        return np.array([[p.x, p.y] for p in shape.parts()], np.float32)
+
+    return landmarks_fn
+
+
+def save_landmark_net(variables, path: str) -> str:
+    from tpufusion.io.params_io import save_pytree
+
+    return save_pytree(variables, path)
+
+
+def load_landmark_net(path: str, *, width: Optional[int] = None,
+                      policy: Optional[Policy] = None):
+    from tpufusion.io.params_io import load_pytree
+
+    policy = policy or default_policy()
+    variables = load_pytree(path)
+    if width is None:  # infer from conv0's out-channels
+        width = int(variables["params"]["conv0"]["kernel"].shape[-1])
+    return LandmarkNet(width=width, policy=policy), variables
