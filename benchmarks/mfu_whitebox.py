@@ -1,0 +1,117 @@
+"""MFU accounting for the white-box attack step (VERDICT r1 weak#4).
+
+The whitebox step is the reference's hottest loop (SURVEY §3.3,
+`attack_main2.py:584-671`): encoder fwd x1 + 1024^2 decoder fwd + VGG fwd +
+backward through all of them + Adam update.  This tool produces a NUMBER for
+it: achieved FLOP/s vs the chip's peak (v5e bf16 ~197 TFLOP/s), from XLA's
+own cost analysis of the compiled step and steady-state wall time.
+
+Run on the TPU:  python benchmarks/mfu_whitebox.py
+Env: MFU_SIZE (1024), MFU_BATCH (8), MFU_ITERS (10), MFU_REMAT (0).
+
+Output: one JSON line with sec/step, flops/step, achieved TFLOP/s, MFU.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# chip peaks in FLOP/s for the MFU denominator
+PEAKS = {
+    "v5e_bf16": 197e12,
+    "v5e_fp32": 197e12 / 2,  # fp32 matmuls run at half bf16 rate on the MXU
+}
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(root, ".jax_cache_tpu"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+    size = int(os.environ.get("MFU_SIZE", "1024"))
+    batch = int(os.environ.get("MFU_BATCH", "8"))
+    iters = int(os.environ.get("MFU_ITERS", "10"))
+    remat = os.environ.get("MFU_REMAT", "0") == "1"
+
+    from tpufusion.attacks.whitebox import (
+        PRESET_ATTACK_MAIN,
+        WhiteboxConfig,
+        make_whitebox_stepper,
+    )
+    from tpufusion.pipeline import FusionPipeline
+
+    print(f"[mfu] building {size}^2 pipeline (remat={remat}) …",
+          file=sys.stderr, flush=True)
+    t0 = time.time()
+    pipeline = FusionPipeline.create("ffhq", jax.random.key(0), size=size,
+                                     remat=remat, mean_latent_samples=64)
+    print(f"[mfu] pipeline in {time.time()-t0:.1f}s", file=sys.stderr, flush=True)
+
+    cfg = WhiteboxConfig(lr=1e-3, n_iters=1, weights=PRESET_ATTACK_MAIN)
+    init, step = make_whitebox_stepper(pipeline, cfg)
+
+    imgs = jax.random.uniform(jax.random.key(1), (batch, size, size, 3),
+                              jnp.float32, -1, 1)
+    targets = jnp.broadcast_to(
+        jax.random.uniform(jax.random.key(2), (1, size, size, 3),
+                           jnp.float32, -1, 1), imgs.shape)
+
+    t0 = time.time()
+    state = init(imgs, targets)
+    state, terms = step(state)
+    _ = float(terms["total"])  # scalar fetch = the only reliable barrier here
+    print(f"[mfu] compile+warm in {time.time()-t0:.1f}s", file=sys.stderr,
+          flush=True)
+
+    # FLOPs of the compiled step program, from XLA itself
+    from tpufusion.attacks.whitebox import _model_params
+
+    params = _model_params(pipeline)
+    try:
+        compiled = step.jitted.lower(params, state).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+    except Exception as e:
+        print(f"[mfu] cost_analysis unavailable: {e}", file=sys.stderr)
+        flops = 0.0
+
+    # steady state, median of 3
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        for _ in range(iters):
+            state, terms = step(state)
+        _ = float(terms["total"])
+        times.append((time.time() - t0) / iters)
+    sec_per_step = sorted(times)[1]
+
+    achieved = flops / sec_per_step if flops else 0.0
+    peak = PEAKS["v5e_bf16"]
+    result = {
+        "metric": f"whitebox step MFU, batch-{batch}, {size}^2",
+        "sec_per_step": round(sec_per_step, 4),
+        "steps_per_sec": round(1.0 / sec_per_step, 2),
+        "flops_per_step": flops,
+        "achieved_tflops": round(achieved / 1e12, 2),
+        "peak_tflops_bf16": peak / 1e12,
+        "mfu": round(achieved / peak, 4) if flops else None,
+        "remat": remat,
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

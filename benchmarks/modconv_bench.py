@@ -1,0 +1,139 @@
+"""Pallas fused styled-conv vs XLA composite — the north-star measurement
+(BASELINE.json: "fused Pallas modconv+bias+act kernels"; VERDICT r1 weak#6).
+
+Per synthesis resolution of the 1024^2 config-f generator, times the
+non-upsampling StyledConv (modulate + 3x3 conv + demod + noise + bias +
+leaky-ReLU) three ways is not needed — two ways:
+  - XLA composite  (ops/modconv.py path, current default)
+  - Pallas kernel  (ops/styled_conv.py)
+and then the FULL 1024^2 synthesis forward with the kernel off/on.
+
+Run on the TPU:  python benchmarks/modconv_bench.py
+Results land in docs/DESIGN.md §3; the faster path stays the default.
+
+Env: MB_BATCH (8), MB_ITERS (20), MB_SIZE (1024 end-to-end size), MB_E2E=0
+to skip the end-to-end part.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def sync(x) -> float:
+    """Timing barrier: scalar fetch (block_until_ready does not synchronise
+    on the tunnel backend)."""
+    import jax.numpy as jnp
+
+    return float(jnp.sum(x))
+
+
+def bench(fn, args, iters: int) -> float:
+    """Median-of-3 steady-state seconds per call."""
+    sync(fn(*args))  # compile + warm
+    best = []
+    for _ in range(3):
+        t0 = time.time()
+        out = None
+        for _ in range(iters):
+            out = fn(*args)
+        sync(out)
+        best.append((time.time() - t0) / iters)
+    return sorted(best)[1]
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     ".jax_cache_tpu"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+    from tpufusion.models.stylegan2 import channel_map
+    from tpufusion.ops.styled_conv import fused_styled_conv, styled_conv_reference
+
+    batch = int(os.environ.get("MB_BATCH", "8"))
+    iters = int(os.environ.get("MB_ITERS", "20"))
+    size = int(os.environ.get("MB_SIZE", "1024"))
+    dt = jnp.bfloat16 if jax.default_backend() in ("tpu", "axon") else jnp.float32
+
+    ch = channel_map(size)
+    print(f"backend={jax.default_backend()} batch={batch} dtype={dt.__name__}",
+          flush=True)
+    print(f"{'res':>5} {'cin':>5} {'cout':>5} {'xla_ms':>9} {'pallas_ms':>10} "
+          f"{'pallas/xla':>10}", flush=True)
+
+    xla_j = jax.jit(styled_conv_reference)
+    pl_j = jax.jit(fused_styled_conv)
+
+    rows = []
+    res = 16
+    while res <= size:
+        cin = cout = ch.get(res, ch[min(ch)])
+        x = jax.random.normal(jax.random.key(1), (batch, res, res, cin), dt)
+        w = jax.random.normal(jax.random.key(2), (3, 3, cin, cout), jnp.float32)
+        s = jax.random.normal(jax.random.key(3), (batch, cin), jnp.float32) * 0.3 + 1.0
+        nz = jax.random.normal(jax.random.key(4), (1, res, res, 1), jnp.float32)
+        ns = jnp.asarray(0.2, jnp.float32)
+        b = jax.random.normal(jax.random.key(5), (cout,), jnp.float32) * 0.1
+        args = (x, w, s, nz, ns, b)
+
+        t_xla = bench(xla_j, args, iters)
+        try:
+            t_pl = bench(pl_j, args, iters)
+        except Exception as e:  # compile failure is a result too
+            print(f"{res:>5} {cin:>5} {cout:>5} {t_xla * 1e3:>9.3f} "
+                  f"{'FAIL':>10} ({type(e).__name__})", flush=True)
+            res *= 2
+            continue
+        rows.append((res, t_xla, t_pl))
+        print(f"{res:>5} {cin:>5} {cout:>5} {t_xla * 1e3:>9.3f} "
+              f"{t_pl * 1e3:>10.3f} {t_pl / t_xla:>10.2f}", flush=True)
+        res *= 2
+
+    if rows:
+        tot_x = sum(r[1] for r in rows)
+        tot_p = sum(r[2] for r in rows)
+        print(f"sum over resolutions: xla {tot_x*1e3:.2f} ms, pallas "
+              f"{tot_p*1e3:.2f} ms, ratio {tot_p/tot_x:.2f}", flush=True)
+
+    if os.environ.get("MB_E2E", "1") == "1":
+        # full synthesis forward, kernel off vs on
+        from tpufusion.models.stylegan2 import create_generator
+
+        gen, variables = create_generator(size, jax.random.key(0))
+        w_plus = jax.random.normal(jax.random.key(7),
+                                   (batch, gen.n_latent, 512), jnp.float32) * 0.3
+
+        def fwd_off(v, wp):
+            return gen.apply(v, [wp], input_is_latent=True).image
+
+        import tpufusion.ops.styled_conv as sc
+
+        def fwd_on(v, wp):
+            os.environ["TPUFUSION_PALLAS_MODCONV"] = "1"
+            try:
+                return gen.apply(v, [wp], input_is_latent=True).image
+            finally:
+                os.environ["TPUFUSION_PALLAS_MODCONV"] = "0"
+
+        e2e_iters = max(iters // 4, 3)
+        t_off = bench(jax.jit(fwd_off), (variables, w_plus), e2e_iters)
+        t_on = bench(jax.jit(fwd_on), (variables, w_plus), e2e_iters)
+        print(f"e2e {size}^2 synthesis fwd batch-{batch}: xla {t_off*1e3:.1f} ms, "
+              f"pallas-modconv {t_on*1e3:.1f} ms, ratio {t_on/t_off:.2f}",
+              flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -194,3 +194,78 @@ class TestMaskedComposite:
         out2 = masked_composite(img, patch, mask, clip_min=-1.0, clip_max=1.0)
         assert float(out2[0, 1, 1, 0]) == pytest.approx(1.0)
         assert float(out2[0, 0, 0, 0]) == pytest.approx(0.5)
+
+
+class TestFusedStyledConv:
+    """Pallas fused modconv+noise+bias+lrelu kernel vs the XLA composite
+    (interpret mode on CPU; real-TPU measurement in benchmarks/modconv_bench)."""
+
+    def _args(self, n=2, h=32, w=32, cin=16, cout=24):
+        x = jax.random.normal(jax.random.key(1), (n, h, w, cin))
+        wt = jax.random.normal(jax.random.key(2), (3, 3, cin, cout))
+        s = jax.random.normal(jax.random.key(3), (n, cin)) * 0.5 + 1.0
+        noise = jax.random.normal(jax.random.key(4), (1, h, w, 1))
+        ns = jnp.asarray(0.3)
+        b = jax.random.normal(jax.random.key(5), (cout,)) * 0.1
+        return x, wt, s, noise, ns, b
+
+    def test_kernel_matches_xla_composite(self):
+        from tpufusion.ops.styled_conv import _pallas_styled_conv, _xla_styled_conv
+
+        args = self._args()
+        ref = _xla_styled_conv(*args)
+        out = _pallas_styled_conv(*args, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_kernel_matches_at_row_tiled_sizes(self):
+        """H large enough to need >1 row tile exercises the halo spec."""
+        import tpufusion.ops.styled_conv as sc
+
+        orig = sc._row_tile
+        sc._row_tile = lambda *a: 8  # force 4 row tiles at h=32
+        try:
+            args = self._args(n=1, h=32, w=32, cin=8, cout=8)
+            ref = sc._xla_styled_conv(*args)
+            out = sc._pallas_styled_conv(*args, interpret=True)
+        finally:
+            sc._row_tile = orig
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_gradients_flow_through_custom_vjp(self):
+        import tpufusion.ops.styled_conv as sc
+
+        args = self._args(n=1, h=16, w=16, cin=8, cout=8)
+        orig = sc._pallas_styled_conv
+        sc._pallas_styled_conv = lambda *a, **kw: orig(*a, interpret=True)
+        try:
+            g1 = jax.grad(lambda x: jnp.sum(
+                sc.fused_styled_conv(x, *args[1:]) ** 2))(args[0])
+        finally:
+            sc._pallas_styled_conv = orig
+        g2 = jax.grad(lambda x: jnp.sum(
+            sc._xla_styled_conv(x, *args[1:]) ** 2))(args[0])
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_dispatch_falls_back_below_min_resolution(self):
+        from tpufusion.ops.styled_conv import styled_conv, _xla_styled_conv
+
+        args = self._args(n=1, h=8, w=8, cin=8, cout=8)
+        out = styled_conv(*args, use_pallas=True)  # too small -> XLA path
+        np.testing.assert_allclose(np.asarray(out),
+                                   np.asarray(_xla_styled_conv(*args)),
+                                   atol=1e-6)
+
+    def test_generator_output_unchanged_by_integration(self):
+        """The _styled_conv rewiring must be a no-op with the kernel off."""
+        from tpufusion.models.stylegan2 import create_generator
+        from tpufusion.core.dtypes import Policy
+
+        gen, variables = create_generator(32, jax.random.key(0),
+                                          channel_multiplier=1, policy=Policy())
+        z = jax.random.normal(jax.random.key(9), (1, 512))
+        out = jax.jit(lambda v, z_: gen.apply(v, [z_]).image)(variables, z)
+        assert out.shape == (1, 32, 32, 3)
+        assert bool(jnp.all(jnp.isfinite(out)))

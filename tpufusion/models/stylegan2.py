@@ -325,6 +325,22 @@ class Generator(nn.Module):
         w = self.conv_weights[conv_idx]
         b = self.conv_biases[conv_idx]
 
+        if not up and not randomize:
+            # the non-upsampling styled conv has a fully-fused Pallas form
+            # (ops/styled_conv.py) — dispatched there when enabled, XLA
+            # composite otherwise (measured default: see docs/DESIGN.md §3)
+            from tpufusion.ops.styled_conv import styled_conv
+
+            buf = self.noises[noise_idx].value
+            ns = self.noise_strength[noise_idx]
+
+            def body(x, s_):
+                return styled_conv(x, w, s_, buf, ns, b)
+
+            if self.remat:
+                body = jax.checkpoint(body)
+            return body(x, s)
+
         def body(x, s_):
             y = modulated_conv2d(
                 x, w, s_, demodulate=True, up=up, blur_taps=tuple(self.blur_taps)

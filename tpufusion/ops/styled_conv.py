@@ -1,0 +1,197 @@
+"""Fused StyledConv Pallas kernel — modulate + 3x3 conv + demodulate + noise
++ bias + leaky-ReLU(sqrt 2) in ONE VMEM pass.
+
+This is the BASELINE.json north-star experiment ("fused Pallas
+modconv+bias+act kernels"): the StyleGAN2 synthesis stack's non-upsampling
+styled conv (`models/stylegan2.py::_styled_conv`, up=False) as a hand-written
+TPU kernel, measured against XLA's fusion of the same composite
+(`ops/modconv.py`).  Whichever wins stays the default; see
+benchmarks/modconv_bench.py + docs/DESIGN.md §3 for the measurements.
+
+Kernel shape:
+- grid (N, H/TH): one batch sample x one row-tile per program;
+- the 3x3 conv becomes 9 shifted (TH*W, Cin) @ (Cin, Cout) MXU matmuls over a
+  1-pixel-padded input;
+- the row halo is fetched as a SECOND blocked input spec (2 rows at element
+  offset (r+1)*TH, expressed as block index (r+1)*TH//2 of a 2-row block) so
+  the standard Pallas pipeline double-buffers both streams — no manual DMA;
+- modulation (x * style), demodulation (y * sigma), noise add, bias and the
+  leaky-ReLU * sqrt(2) epilogue all happen on the block while it is resident
+  in VMEM;
+- backward falls back to XLA autodiff of the numerically-identical composite
+  (custom_vjp), so attacks differentiate through it unchanged.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAS_PALLAS = False
+
+from tpufusion.ops.modconv import modulated_conv2d
+
+SQRT2 = math.sqrt(2.0)
+
+
+def _xla_styled_conv(x, weight, style, noise, noise_strength, bias):
+    """The reference composite (what XLA fuses; also the VJP path)."""
+    y = modulated_conv2d(x, weight, style, demodulate=True, up=False)
+    y = y + noise_strength.astype(y.dtype) * noise.astype(y.dtype)
+    return jax.nn.leaky_relu(y + bias.astype(y.dtype), 0.2) * SQRT2
+
+
+def _kernel(xm_ref, xh_ref, w_ref, s_ref, sig_ref, b_ref, nz_ref, out_ref):
+    n = pl.program_id(0)
+    th, wpad = xm_ref.shape[1], xm_ref.shape[2]
+    w_out = wpad - 2
+    cout = w_ref.shape[3]
+
+    # stitch main rows + 2 halo rows, then modulate by this sample's style
+    x = jnp.concatenate([xm_ref[0], xh_ref[0]], axis=0)  # (TH+2, W+2, Cin)
+    s = s_ref[n, :].astype(x.dtype)
+    xs = x * s[None, None, :]
+
+    # 3x3 conv as 9 shifted matmuls accumulated in fp32 on the MXU
+    acc = jnp.zeros((th, w_out, cout), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            patch = xs[dy : dy + th, dx : dx + w_out, :]
+            acc = acc + jax.lax.dot_general(
+                patch, w_ref[dy, dx],
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+    # demod + bias epilogue, then noise + leaky-ReLU*sqrt(2)
+    y = acc * sig_ref[n, :][None, None, :] + b_ref[0, :][None, None, :]
+    y = y + nz_ref[:, :][:, :, None]
+    y = jnp.where(y >= 0, y, 0.2 * y) * SQRT2
+    out_ref[0] = y.astype(out_ref.dtype)
+
+
+def _row_tile(h: int, w: int, cin: int, itemsize: int) -> int:
+    """Largest even power-of-two row tile whose padded block fits ~4MB."""
+    budget = 4 * 1024 * 1024
+    th = h
+    while th > 8 and (th + 2) * (w + 2) * cin * itemsize > budget:
+        th //= 2
+    return max(th, 2)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _pallas_styled_conv(x, weight, style, noise, noise_strength, bias,
+                        *, interpret: bool = False):
+    n, h, w, cin = x.shape
+    kh, kw, _, cout = weight.shape
+    assert (kh, kw) == (3, 3), "fused kernel targets the 3x3 styled conv"
+
+    scale = 1.0 / math.sqrt(cin * kh * kw)
+    w_s = (weight * scale).astype(x.dtype)
+
+    # demod sigma in fp32 (identical math to ops.modconv)
+    w2 = jnp.sum((weight.astype(jnp.float32) * scale) ** 2, axis=(0, 1))
+    sigma = jax.lax.rsqrt((style.astype(jnp.float32) ** 2) @ w2 + 1e-8)  # (N, Cout)
+
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    th = _row_tile(h, w, cin, x.dtype.itemsize)
+    grid = (n, h // th)
+
+    noise2d = (noise_strength.astype(jnp.float32)
+               * noise.reshape(noise.shape[-3], noise.shape[-2]).astype(jnp.float32))
+
+    out = pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[
+            # main rows [r*TH, r*TH+TH)
+            pl.BlockSpec((1, th, w + 2, cin), lambda i, r: (i, r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            # halo rows [(r+1)*TH, (r+1)*TH+2) as block index of a 2-row block
+            pl.BlockSpec((1, 2, w + 2, cin),
+                         lambda i, r: (i, (r + 1) * th // 2, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # weight (3,3,Cin,Cout)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # style (N,Cin)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # sigma (N,Cout)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # bias (1,Cout)
+            pl.BlockSpec((th, w), lambda i, r: (r, 0),
+                         memory_space=pltpu.VMEM),  # scaled noise (H,W)
+        ],
+        out_specs=pl.BlockSpec((1, th, w, cout), lambda i, r: (i, r, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, h, w, cout), x.dtype),
+        interpret=interpret,
+    )(
+        xp, xp, w_s, style.astype(x.dtype), sigma,
+        bias.reshape(1, -1).astype(jnp.float32), noise2d,
+    )
+    return out
+
+
+@jax.custom_vjp
+def fused_styled_conv(x, weight, style, noise, noise_strength, bias):
+    """Pallas-fused styled conv (forward); XLA-composite gradient."""
+    return _pallas_styled_conv(x, weight, style, noise, noise_strength, bias)
+
+
+def _fsc_fwd(x, weight, style, noise, noise_strength, bias):
+    out = _pallas_styled_conv(x, weight, style, noise, noise_strength, bias)
+    return out, (x, weight, style, noise, noise_strength, bias)
+
+
+def _fsc_bwd(res, g):
+    # differentiate the numerically-identical XLA composite
+    _, vjp = jax.vjp(_xla_styled_conv, *res)
+    return vjp(g)
+
+
+fused_styled_conv.defvjp(_fsc_fwd, _fsc_bwd)
+
+
+def styled_conv_reference(x, weight, style, noise, noise_strength, bias):
+    """Public alias of the XLA composite (benchmark baseline)."""
+    return _xla_styled_conv(x, weight, style, noise, noise_strength, bias)
+
+
+def use_pallas_styled_conv() -> bool:
+    """Default OFF pending the measurement in benchmarks/modconv_bench.py;
+    opt-in via TPUFUSION_PALLAS_MODCONV=1 (TPU only)."""
+    return (
+        _HAS_PALLAS
+        and jax.default_backend() in ("tpu", "axon")
+        and os.environ.get("TPUFUSION_PALLAS_MODCONV", "0") == "1"
+    )
+
+
+def styled_conv(x, weight, style, noise, noise_strength, bias,
+                *, use_pallas: bool | None = None):
+    """Dispatch between the Pallas kernel and the XLA composite.
+
+    The Pallas path needs: 3x3 kernel, H divisible by the row tile, and a
+    resolution big enough for the kernel to matter (>= 16).
+    """
+    if use_pallas is None:
+        use_pallas = use_pallas_styled_conv()
+    h, w = x.shape[1], x.shape[2]
+    ok = (
+        use_pallas
+        and weight.shape[0] == 3
+        and h >= 16
+        and h % 2 == 0
+        and w % 2 == 0
+    )
+    if not ok:
+        return _xla_styled_conv(x, weight, style, noise, noise_strength, bias)
+    return fused_styled_conv(x, weight, style, noise, noise_strength, bias)
