@@ -114,24 +114,27 @@ def main() -> int:
         w_plus = jax.random.normal(jax.random.key(7),
                                    (batch, gen.n_latent, 512), jnp.float32) * 0.3
 
-        def fwd_off(v, wp):
-            return gen.apply(v, [wp], input_is_latent=True).image
-
-        import tpufusion.ops.styled_conv as sc
-
-        def fwd_on(v, wp):
-            os.environ["TPUFUSION_PALLAS_MODCONV"] = "1"
-            try:
-                return gen.apply(v, [wp], input_is_latent=True).image
-            finally:
-                os.environ["TPUFUSION_PALLAS_MODCONV"] = "0"
+        def _forced(mode):
+            def fwd(v, wp):
+                prev = os.environ.get("TPUFUSION_PALLAS_MODCONV")
+                os.environ["TPUFUSION_PALLAS_MODCONV"] = mode
+                try:
+                    return gen.apply(v, [wp], input_is_latent=True).image
+                finally:
+                    if prev is None:
+                        os.environ.pop("TPUFUSION_PALLAS_MODCONV", None)
+                    else:
+                        os.environ["TPUFUSION_PALLAS_MODCONV"] = prev
+            return fwd
 
         e2e_iters = max(iters // 4, 3)
-        t_off = bench(jax.jit(fwd_off), (variables, w_plus), e2e_iters)
-        t_on = bench(jax.jit(fwd_on), (variables, w_plus), e2e_iters)
+        t_off = bench(jax.jit(_forced("off")), (variables, w_plus), e2e_iters)
+        t_auto = bench(jax.jit(_forced("auto")), (variables, w_plus), e2e_iters)
+        t_all = bench(jax.jit(_forced("all")), (variables, w_plus), e2e_iters)
         print(f"e2e {size}^2 synthesis fwd batch-{batch}: xla {t_off*1e3:.1f} ms, "
-              f"pallas-modconv {t_on*1e3:.1f} ms, ratio {t_on/t_off:.2f}",
-              flush=True)
+              f"pallas-window(auto) {t_auto*1e3:.1f} ms "
+              f"(ratio {t_auto/t_off:.2f}), pallas-all {t_all*1e3:.1f} ms "
+              f"(ratio {t_all/t_off:.2f})", flush=True)
     return 0
 
 

@@ -72,6 +72,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--e4e_ckpt", default=None)
     p.add_argument("--vgg_ckpt", default=None)
     p.add_argument("--fusion_weights", default=None)
+    p.add_argument("--discriminator_ckpt", default=None,
+                   help="stylegan2-ada pkl with D for realism scoring "
+                        "(attack_main2.py:934-938)")
     p.add_argument("--no_save_img", action="store_true")
     return p
 
@@ -248,17 +251,42 @@ def main(argv=None) -> int:
               f"{chain['adv_inputs_path']}")
         return 0
 
+    discriminator = None
+    d_ckpt = args.discriminator_ckpt or cfg.paths.discriminator_ckpt
+    if d_ckpt:
+        from tpufusion.io import convert_ada_discriminator
+        from tpufusion.io.ada_pkl import load_network_pkl_tensors
+        from tpufusion.models.discriminator import Discriminator
+
+        nets = load_network_pkl_tensors(d_ckpt)
+        d = Discriminator(size=pipeline.image_size,
+                          channel_multiplier=1 if args.tiny else 2,
+                          policy=pipeline.policy)
+        d_vars = convert_ada_discriminator(nets.get("D", nets.get("root")), d)
+        d_vars = jax.tree.map(jnp.asarray, d_vars)
+        discriminator = (d, d_vars)
+        print(f"[attack_run] realism scoring with D from {d_ckpt}")
+
     results = run_experiment(
         pipeline, cfg, inputs, target, pool.next(),
         save_root=dataset_dir if cfg.save_img else None,
+        discriminator=discriminator,
     )
 
+    if results.get("realism"):
+        # the reference prints D logits of benign vs adversarial fused images
+        # (`attack_main2.py:1029-1032,1091-1094`, commented-in blocks)
+        print(f"[attack_run] realism(D): benign fused "
+              f"{float(jnp.mean(results['realism']['fused_spatial'])):+.4f}")
     for attack in cfg.attacks:
         for r in results[attack]:
             noise = float(jnp.mean(r["noise"]))
             ssim_all = float(r["ssim_spatial"][-1])
-            print(f"[attack_run] {attack}: input-noise MSE {noise:.5f}, "
-                  f"spatial SSIM(all-adv vs benign) {ssim_all:.4f}")
+            msg = (f"[attack_run] {attack}: input-noise MSE {noise:.5f}, "
+                   f"spatial SSIM(all-adv vs benign) {ssim_all:.4f}")
+            if r.get("adv_realism") is not None:
+                msg += f", realism(D) adv fused {float(jnp.mean(r['adv_realism'])):+.4f}"
+            print(msg)
     print(f"[attack_run] artifacts under {dataset_dir}")
     return 0
 

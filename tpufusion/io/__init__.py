@@ -6,6 +6,7 @@ from tpufusion.io.artifacts import (
     write_parameters,
 )
 from tpufusion.io.checkpoint import (
+    convert_ada_discriminator,
     convert_e4e_checkpoint,
     convert_stylegan2_checkpoint,
     convert_vgg16_checkpoint,

@@ -219,6 +219,60 @@ def convert_e4e_checkpoint(ckpt: Mapping, encoder) -> tuple[dict, np.ndarray]:
 
 
 # ---------------------------------------------------------------------------
+# stylegan2-ada discriminator (ffhq.pkl `D`, `attack_main2.py:934-938`)
+# ---------------------------------------------------------------------------
+
+
+def convert_ada_discriminator(tensors: Mapping, discriminator) -> dict:
+    """ada-pkl ``D`` tensor paths -> our Discriminator variables.
+
+    ``tensors`` is the ``{dotted_path: ndarray}`` dict from
+    ``io.ada_pkl.load_network_pkl_tensors(...)['D']``; paths follow the ada
+    module tree (``b{res}.fromrgb/conv0/conv1/skip``, ``b4.conv/fc/out``).
+    Both frameworks runtime-scale weights by 1/sqrt(fan_in), so tensors
+    transfer with layout transposes only.  The b4.fc input dim is re-ordered
+    from ada's NCHW flatten to our NHWC flatten.
+    """
+    t = {k: np.asarray(v) for k, v in tensors.items()}
+    size = discriminator.size
+    ch4 = None
+    p: dict = {
+        "from_rgb": {
+            "weight": _conv(t[f"b{size}.fromrgb.weight"]),
+            "bias": np.asarray(t[f"b{size}.fromrgb.bias"]).reshape(-1),
+        }
+    }
+    res = size
+    while res > 4:
+        p[f"block_{res}"] = {
+            "conv1": {
+                "weight": _conv(t[f"b{res}.conv0.weight"]),
+                "bias": np.asarray(t[f"b{res}.conv0.bias"]).reshape(-1),
+            },
+            "conv2": {
+                "weight": _conv(t[f"b{res}.conv1.weight"]),
+                "bias": np.asarray(t[f"b{res}.conv1.bias"]).reshape(-1),
+            },
+            "skip": {"weight": _conv(t[f"b{res}.skip.weight"])},
+        }
+        res //= 2
+
+    p["final_conv"] = {
+        "weight": _conv(t["b4.conv.weight"]),
+        "bias": np.asarray(t["b4.conv.bias"]).reshape(-1),
+    }
+    fc_w = np.asarray(t["b4.fc.weight"])  # (out, C*4*4) flattened NCHW
+    out_f, in_f = fc_w.shape
+    ch4 = in_f // 16
+    fc_w = fc_w.reshape(out_f, ch4, 4, 4).transpose(0, 2, 3, 1).reshape(out_f, -1)
+    p["final_fc"] = {"kernel": _linear(fc_w),
+                     "bias": np.asarray(t["b4.fc.bias"]).reshape(-1)}
+    p["out"] = {"kernel": _linear(t["b4.out.weight"]),
+                "bias": np.asarray(t["b4.out.bias"]).reshape(-1)}
+    return {"params": p}
+
+
+# ---------------------------------------------------------------------------
 # VGG16 (positional mapping, `vgg.py:66-76`)
 # ---------------------------------------------------------------------------
 

@@ -53,14 +53,15 @@ def _xla_styled_conv(x, weight, style, noise, noise_strength, bias):
 
 
 def _kernel(xm_ref, xh_ref, w_ref, s_ref, sig_ref, b_ref, nz_ref, out_ref):
-    n = pl.program_id(0)
     th, wpad = xm_ref.shape[1], xm_ref.shape[2]
     w_out = wpad - 2
     cout = w_ref.shape[3]
 
     # stitch main rows + 2 halo rows, then modulate by this sample's style
+    # (style/sigma arrive as per-sample blocks — dynamic row loads are not
+    # provably sublane-aligned for Mosaic)
     x = jnp.concatenate([xm_ref[0], xh_ref[0]], axis=0)  # (TH+2, W+2, Cin)
-    s = s_ref[n, :].astype(x.dtype)
+    s = s_ref[0, 0, :].astype(x.dtype)
     xs = x * s[None, None, :]
 
     # 3x3 conv as 9 shifted matmuls accumulated in fp32 on the MXU
@@ -75,17 +76,23 @@ def _kernel(xm_ref, xh_ref, w_ref, s_ref, sig_ref, b_ref, nz_ref, out_ref):
             )
 
     # demod + bias epilogue, then noise + leaky-ReLU*sqrt(2)
-    y = acc * sig_ref[n, :][None, None, :] + b_ref[0, :][None, None, :]
+    y = acc * sig_ref[0, 0, :][None, None, :] + b_ref[0, :][None, None, :]
     y = y + nz_ref[:, :][:, :, None]
     y = jnp.where(y >= 0, y, 0.2 * y) * SQRT2
     out_ref[0] = y.astype(out_ref.dtype)
 
 
 def _row_tile(h: int, w: int, cin: int, itemsize: int) -> int:
-    """Largest even power-of-two row tile whose padded block fits ~4MB."""
-    budget = 4 * 1024 * 1024
+    """Largest even power-of-two row tile whose padded block fits ~2MB.
+
+    The scoped-VMEM budget (16 MB) must hold: 2x double-buffered input
+    blocks, 2x output blocks, the fp32 accumulator (th*w*cout*4), the
+    modulated copy, and the weights — a 2 MB x-block keeps the total under
+    the limit at every config-f resolution (4 MB OOMed at 256^2/128ch)."""
+    budget = 2 * 1024 * 1024
+    cin_padded = max(cin, 128)  # lanes pad to 128: a 32-ch block costs 4x
     th = h
-    while th > 8 and (th + 2) * (w + 2) * cin * itemsize > budget:
+    while th > 8 and (th + 2) * (w + 2) * cin_padded * itemsize > budget:
         th //= 2
     return max(th, 2)
 
@@ -123,8 +130,10 @@ def _pallas_styled_conv(x, weight, style, noise, noise_strength, bias,
                          lambda i, r: (i, (r + 1) * th // 2, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # weight (3,3,Cin,Cout)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # style (N,Cin)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # sigma (N,Cout)
+            pl.BlockSpec((1, 1, cin), lambda i, r: (i, 0, 0),
+                         memory_space=pltpu.VMEM),  # style row for sample i
+            pl.BlockSpec((1, 1, cout), lambda i, r: (i, 0, 0),
+                         memory_space=pltpu.VMEM),  # sigma row for sample i
             pl.BlockSpec(memory_space=pltpu.VMEM),  # bias (1,Cout)
             pl.BlockSpec((th, w), lambda i, r: (r, 0),
                          memory_space=pltpu.VMEM),  # scaled noise (H,W)
@@ -132,9 +141,13 @@ def _pallas_styled_conv(x, weight, style, noise, noise_strength, bias,
         out_specs=pl.BlockSpec((1, th, w, cout), lambda i, r: (i, r, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, h, w, cout), x.dtype),
+        compiler_params=(
+            pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+            if not interpret else None
+        ),
         interpret=interpret,
     )(
-        xp, xp, w_s, style.astype(x.dtype), sigma,
+        xp, xp, w_s, style.astype(x.dtype)[:, None, :], sigma[:, None, :],
         bias.reshape(1, -1).astype(jnp.float32), noise2d,
     )
     return out
@@ -165,33 +178,41 @@ def styled_conv_reference(x, weight, style, noise, noise_strength, bias):
     return _xla_styled_conv(x, weight, style, noise, noise_strength, bias)
 
 
-def use_pallas_styled_conv() -> bool:
-    """Default OFF pending the measurement in benchmarks/modconv_bench.py;
-    opt-in via TPUFUSION_PALLAS_MODCONV=1 (TPU only)."""
-    return (
-        _HAS_PALLAS
-        and jax.default_backend() in ("tpu", "axon")
-        and os.environ.get("TPUFUSION_PALLAS_MODCONV", "0") == "1"
-    )
+def pallas_styled_conv_mode() -> str:
+    """Dispatch mode, from the v5e measurement (benchmarks/modconv_bench.py,
+    docs/DESIGN.md §3): the kernel beats XLA 1.25-1.4x when the channel
+    count fills the 128-lane VPU/MXU width without huge blocks (cin 128-256,
+    i.e. synthesis resolutions 128/256 in config-f) and LOSES below 128
+    channels where lane padding doubles/quadruples every buffer.
+
+    TPUFUSION_PALLAS_MODCONV: unset/'auto' -> measured window on TPU;
+    '1'/'all' -> everywhere (experiments); '0'/'off' -> never.
+    """
+    if not (_HAS_PALLAS and jax.default_backend() in ("tpu", "axon")):
+        return "off"
+    v = os.environ.get("TPUFUSION_PALLAS_MODCONV", "auto").lower()
+    if v in ("0", "off"):
+        return "off"
+    if v in ("1", "all"):
+        return "all"
+    return "auto"
 
 
 def styled_conv(x, weight, style, noise, noise_strength, bias,
                 *, use_pallas: bool | None = None):
     """Dispatch between the Pallas kernel and the XLA composite.
 
-    The Pallas path needs: 3x3 kernel, H divisible by the row tile, and a
-    resolution big enough for the kernel to matter (>= 16).
+    Structural requirements for the kernel: 3x3 weight, even H/W, H >= 16.
+    With ``use_pallas=None`` the measured-window policy applies (see
+    ``pallas_styled_conv_mode``); an explicit True forces the kernel
+    wherever it is structurally possible.
     """
+    h, w, cin = x.shape[1], x.shape[2], x.shape[3]
+    structural = (weight.shape[0] == 3 and h >= 16
+                  and h % 2 == 0 and w % 2 == 0)
     if use_pallas is None:
-        use_pallas = use_pallas_styled_conv()
-    h, w = x.shape[1], x.shape[2]
-    ok = (
-        use_pallas
-        and weight.shape[0] == 3
-        and h >= 16
-        and h % 2 == 0
-        and w % 2 == 0
-    )
-    if not ok:
+        mode = pallas_styled_conv_mode()
+        use_pallas = mode == "all" or (mode == "auto" and 128 <= cin <= 256)
+    if not (use_pallas and structural):
         return _xla_styled_conv(x, weight, style, noise, noise_strength, bias)
     return fused_styled_conv(x, weight, style, noise, noise_strength, bias)
