@@ -21,10 +21,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# chip peaks in FLOP/s for the MFU denominator
+# chip peaks for the roofline denominators
 PEAKS = {
     "v5e_bf16": 197e12,
     "v5e_fp32": 197e12 / 2,  # fp32 matmuls run at half bf16 rate on the MXU
+    "v5e_hbm_Bps": 819e9,  # HBM bandwidth
 }
 
 
@@ -83,9 +84,11 @@ def main() -> int:
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
         flops = float(ca.get("flops", 0.0))
+        bytes_accessed = float(ca.get("bytes accessed", 0.0))
     except Exception as e:
         print(f"[mfu] cost_analysis unavailable: {e}", file=sys.stderr)
         flops = 0.0
+        bytes_accessed = 0.0
 
     # steady state, median of 3
     times = []
@@ -99,14 +102,28 @@ def main() -> int:
 
     achieved = flops / sec_per_step if flops else 0.0
     peak = PEAKS["v5e_bf16"]
+    # roofline: the step cannot run faster than max(flops/peak, bytes/BW).
+    # The synthesis tail (1024^2 at 32-64 channels, upfirdn2d resampling) is
+    # bandwidth-bound, so the bandwidth term is the binding one for this
+    # program — report utilisation against the roofline, not just the MXU.
+    t_flops = flops / peak if flops else 0.0
+    t_bw = bytes_accessed / PEAKS["v5e_hbm_Bps"] if bytes_accessed else 0.0
+    t_roofline = max(t_flops, t_bw)
     result = {
         "metric": f"whitebox step MFU, batch-{batch}, {size}^2",
         "sec_per_step": round(sec_per_step, 4),
         "steps_per_sec": round(1.0 / sec_per_step, 2),
         "flops_per_step": flops,
+        "hbm_bytes_per_step": bytes_accessed,
         "achieved_tflops": round(achieved / 1e12, 2),
+        "achieved_GBps": round(bytes_accessed / sec_per_step / 1e9, 1)
+        if bytes_accessed else None,
         "peak_tflops_bf16": peak / 1e12,
         "mfu": round(achieved / peak, 4) if flops else None,
+        "roofline_bound": "bandwidth" if t_bw > t_flops else "compute",
+        "roofline_sec": round(t_roofline, 4),
+        "roofline_util": round(t_roofline / sec_per_step, 4)
+        if t_roofline else None,
         "remat": remat,
     }
     print(json.dumps(result))

@@ -75,6 +75,37 @@ class TestShardedWhitebox:
             float(loss_sharded), float(loss_single), rtol=1e-4
         )
 
+    def test_dp_patch_train_step_matches_single_device(self, pipeline):
+        """Shared-parameter DP training: the patch update from a data-sharded
+        batch (grad psum over ICI) must equal the unsharded update."""
+        from tpufusion.attacks.patch import PatchConfig, init_patch_square
+        from tpufusion.parallel import make_sharded_patch_train_step
+
+        cfg = PatchConfig(patch_frac=0.1, max_count=3, step_size=0.5)
+        patch = init_patch_square(32, 0.1, jax.random.key(3))
+        b = len(jax.devices())
+        imgs = jax.random.uniform(jax.random.key(4), (b, 32, 32, 3),
+                                  minval=-1, maxval=1)
+
+        mesh = create_mesh(jax.devices())
+        step, place = make_sharded_patch_train_step(pipeline, cfg, mesh)
+        s_imgs, s_patch = place(imgs, patch)
+        with mesh:
+            p_sharded, trace_sharded = step(s_imgs, s_patch, jax.random.key(5))
+        assert p_sharded.sharding.is_fully_replicated
+
+        mesh1 = create_mesh(jax.devices()[:1])
+        step1, _ = make_sharded_patch_train_step(pipeline, cfg, mesh1)
+        with mesh1:
+            p_single, trace_single = step1(imgs, patch, jax.random.key(5))
+
+        np.testing.assert_allclose(np.asarray(trace_sharded),
+                                   np.asarray(trace_single), rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(p_sharded),
+                                   np.asarray(p_single), rtol=1e-4, atol=1e-5)
+        # the scanned loop actually descends the (negated-drift) objective
+        assert float(trace_sharded[-1]) <= float(trace_sharded[0])
+
     def test_tp_sharded_generator_params(self, pipeline):
         mesh = create_mesh(jax.devices(), model=2)
         sharded = shard_generator_params(pipeline.drawer.gen_vars, mesh)

@@ -183,3 +183,82 @@ def make_sharded_whitebox_step(pipeline, config, mesh: Mesh):
         return imgs, targets
 
     return step, init, place_batch
+
+
+def make_sharded_patch_train_step(pipeline, config, mesh: Mesh):
+    """Batch-synchronous data-parallel adversarial-patch training step.
+
+    The reference trains the patch strictly sequentially — one image at a
+    time, gradient descent on the pasted canvas, patch re-extracted per batch
+    (`adversarial_patch.py:94-160`).  The DP generalisation is the classic
+    shared-parameter training pattern this workload otherwise lacks: the
+    image batch is sharded over ``data``, each image gets its own random
+    placement (vmapped transform, per-image key), the loss is averaged over
+    the batch, and the PATCH gradient — obtained by differentiating through
+    the placement transform instead of canvas-space GD — comes back as one
+    replicated update (XLA inserts the psum over ICI).
+
+    Semantics per step (mirroring the reference inner loop `:111-158`):
+    ``max_count`` scanned iterations on a fixed set of placements, raw
+    gradient descent ``patch -= step_size * grad``, clamp to the batch's
+    pixel range (`:138`).
+
+    Returns ``(step, place_batch)``; ``step(imgs, patch, key) ->
+    (patch', loss_trace)`` with ``imgs`` data-sharded and ``patch``
+    replicated.
+    """
+    import jax.numpy as jnp
+
+    from tpufusion.attacks.patch import circle_transform, square_transform
+    from tpufusion.core.imaging import avg_pool
+
+    cfg = config
+    enc = pipeline.encode_fn()
+    model_params = dict(enc=pipeline.enc_vars)
+    factor = pipeline.pool_factor
+    size = pipeline.image_size
+    transform = square_transform if cfg.patch_type == "square" else circle_transform
+
+    def mse(a, b):
+        d = a.astype(jnp.float32) - b.astype(jnp.float32)
+        return jnp.mean(d * d)
+
+    @jax.jit
+    def step_impl(params, imgs, patch, key):
+        n = imgs.shape[0]
+        keys = jax.random.split(key, n)  # one placement per image, fixed
+        latent_org = jax.lax.stop_gradient(
+            enc(params["enc"], avg_pool(imgs, factor)))
+        cmin, cmax = jnp.min(imgs), jnp.max(imgs)
+
+        def loss_fn(patch_):
+            canvases, masks, _ = jax.vmap(
+                transform, in_axes=(None, None, 0))(patch_, size, keys)
+            adv = (1.0 - masks) * imgs + masks * canvases
+            adv_latent = enc(params["enc"], avg_pool(adv, factor))
+            # per-image MSE mean over batch == mean of per-image losses
+            d = (latent_org - adv_latent).astype(jnp.float32)
+            return cfg.w_latent_org * jnp.mean(
+                jnp.mean(d * d, axis=tuple(range(1, d.ndim))))
+
+        grad_fn = jax.value_and_grad(loss_fn)
+
+        def inner(patch_, _):
+            loss, g = grad_fn(patch_)
+            patch_ = jnp.clip(patch_ - cfg.step_size * g, cmin, cmax)
+            return patch_, loss
+
+        return jax.lax.scan(inner, patch, None, length=cfg.max_count)
+
+    def step(imgs, patch, key):
+        return step_impl(model_params, imgs, patch, key)
+
+    step.jitted = step_impl
+
+    def place_batch(imgs, patch):
+        return (
+            jax.device_put(imgs, batch_sharding(mesh, imgs.ndim)),
+            jax.device_put(patch, replicate(mesh)),
+        )
+
+    return step, place_batch
