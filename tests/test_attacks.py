@@ -278,6 +278,61 @@ class TestWhiteboxStepwise:
         )
 
 
+class TestAttackStateCheckpoint:
+    def test_resume_matches_unbroken_run(self, pipeline, tmp_path):
+        """Interrupt at iter 3 of 6, resume from the checkpoint: the final
+        adversarial image must equal the unbroken 6-iter run (Adam moments
+        and the reference bundle restore exactly)."""
+        from tpufusion.attacks.whitebox import run_whitebox_stepwise
+        from tpufusion.io import run_whitebox_resumable
+
+        img = jax.random.uniform(jax.random.key(31), (1, 32, 32, 3),
+                                 minval=-1, maxval=1)
+        target = jax.random.uniform(jax.random.key(32), (1, 32, 32, 3),
+                                    minval=-1, maxval=1)
+        ckpt = str(tmp_path / "wb_state.npz")
+
+        # "crashed" run: only 3 of 6 iterations happen before the kill
+        half = WhiteboxConfig(lr=0.01, n_iters=3)
+        _, trace_a, start_a = run_whitebox_resumable(
+            pipeline, img, target, half, ckpt, checkpoint_every=1)
+        assert start_a == 0 and trace_a["total"].shape[0] == 3
+
+        # resume to the full budget
+        full = WhiteboxConfig(lr=0.01, n_iters=6)
+        adv, trace_b, start_b = run_whitebox_resumable(
+            pipeline, img, target, full, ckpt, checkpoint_every=2)
+        assert start_b == 3 and trace_b["total"].shape[0] == 3
+
+        adv_ref, trace_ref = run_whitebox_stepwise(pipeline, img, target, full)
+        np.testing.assert_allclose(np.asarray(adv), np.asarray(adv_ref),
+                                   atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(trace_b["total"]),
+            np.asarray(trace_ref["total"])[3:], rtol=1e-4)
+
+        # a third call with the budget already met executes nothing
+        adv2, trace_c, start_c = run_whitebox_resumable(
+            pipeline, img, target, full, ckpt, checkpoint_every=2)
+        assert start_c == 6 and trace_c is None
+        np.testing.assert_allclose(np.asarray(adv2), np.asarray(adv), atol=0)
+
+    def test_template_mismatch_rejected(self, pipeline, tmp_path):
+        from tpufusion.io import load_attack_state, save_attack_state
+
+        state = dict(x=jnp.zeros((1, 8, 8, 3)), k=jnp.zeros((4,)))
+        path = str(tmp_path / "s.npz")
+        save_attack_state(state, path, step=2)
+        restored, step = load_attack_state(path, state)
+        assert step == 2
+        assert jax.tree.structure(restored) == jax.tree.structure(state)
+        with pytest.raises(ValueError):
+            load_attack_state(path, dict(x=jnp.zeros((1, 8, 8, 3))))
+        with pytest.raises(ValueError):
+            load_attack_state(
+                path, dict(x=jnp.zeros((1, 4, 4, 3)), k=jnp.zeros((4,))))
+
+
 class TestWhiteboxStepwiseVmapped:
     def test_matches_vmap_scan(self, pipeline):
         """Per-image stepwise == per-image scanned trajectories."""

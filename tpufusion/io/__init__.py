@@ -5,6 +5,11 @@ from tpufusion.io.artifacts import (
     new_run_folder,
     write_parameters,
 )
+from tpufusion.io.attack_state import (
+    load_attack_state,
+    run_whitebox_resumable,
+    save_attack_state,
+)
 from tpufusion.io.checkpoint import (
     convert_ada_discriminator,
     convert_e4e_checkpoint,

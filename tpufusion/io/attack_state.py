@@ -1,0 +1,98 @@
+"""Mid-attack checkpoint/resume — failure recovery for long attack runs.
+
+The reference's only resume story is reloading end-of-attack artifacts
+(`attack_main2.py:1096-1111`, `interpolation.py:1274-1313`,
+`patch/adversarial_patch.py:211-213`); an interrupted white-box or patch
+optimisation restarts from scratch.  Here every attack's optimiser state is
+a pytree of arrays (pixel buffer + Adam moments + the stop-gradient
+reference bundle for the whitebox stepper; the patch array for patch
+training), so a checkpoint is one ``.npz`` of leaves.  The treedef is
+structural — it is NOT serialised; resume rebuilds the pytree against a
+template produced by the same ``init`` that produced the original state.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def save_attack_state(state, path: str, *, step: int) -> str:
+    """Persist an attack-state pytree (+ iteration counter) to ``path``.
+
+    Writes atomically (tmp file + rename) so a crash mid-write never
+    corrupts the previous checkpoint.
+    """
+    leaves = jax.tree.leaves(jax.device_get(state))
+    payload = {f"leaf_{i:04d}": np.asarray(l) for i, l in enumerate(leaves)}
+    payload["__step__"] = np.asarray(step, np.int64)
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **payload)
+    os.replace(tmp, path)
+    return path
+
+
+def load_attack_state(path: str, template):
+    """Restore ``(state, step)`` from ``path``.
+
+    ``template`` is a freshly-built state with the SAME structure (from the
+    attack's ``init``); its leaves supply the treedef and dtypes.
+    """
+    treedef = jax.tree.structure(template)
+    t_leaves = jax.tree.leaves(template)
+    with np.load(path) as data:
+        step = int(data["__step__"])
+        keys = sorted(k for k in data.files if k.startswith("leaf_"))
+        if len(keys) != len(t_leaves):
+            raise ValueError(
+                f"checkpoint {path} has {len(keys)} leaves but the template "
+                f"state has {len(t_leaves)} — wrong attack/config?"
+            )
+        leaves = [
+            jnp.asarray(data[k], dtype=t.dtype)
+            for k, t in zip(keys, t_leaves)
+        ]
+    for got, want in zip(leaves, t_leaves):
+        if got.shape != jnp.shape(want):
+            raise ValueError(
+                f"checkpoint leaf shape {got.shape} != template "
+                f"{jnp.shape(want)} — wrong image size/batch?"
+            )
+    return jax.tree.unflatten(treedef, leaves), step
+
+
+def run_whitebox_resumable(pipeline, img, target_img, config,
+                           checkpoint_path: str, *, checkpoint_every: int = 10):
+    """Host-looped white-box attack with periodic state checkpoints.
+
+    Same semantics as ``attacks.whitebox.run_whitebox_stepwise`` but the
+    stepper state is saved to ``checkpoint_path`` every ``checkpoint_every``
+    iterations and on completion; if the file already exists the run resumes
+    from the recorded iteration (Adam moments and the precomputed reference
+    bundle restore exactly, so the trajectory is identical to an unbroken
+    run).  Returns ``(adv, trace, start_iter)`` where ``trace`` covers the
+    iterations executed in THIS call.
+    """
+    from tpufusion.attacks.whitebox import make_whitebox_stepper
+
+    init, step = make_whitebox_stepper(pipeline, config)
+    state = init(img, target_img)
+    start = 0
+    if os.path.exists(checkpoint_path):
+        state, start = load_attack_state(checkpoint_path, state)
+    traces = []
+    for i in range(start, config.n_iters):
+        state, terms = step(state)
+        traces.append(terms)
+        done = i + 1
+        if checkpoint_every and (done % checkpoint_every == 0
+                                 or done == config.n_iters):
+            save_attack_state(state, checkpoint_path, step=done)
+    if traces:
+        trace = jax.tree.map(lambda *xs: jnp.stack(xs), *traces)
+    else:  # already complete — nothing executed
+        trace = None
+    return state["x"], trace, start

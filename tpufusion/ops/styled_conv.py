@@ -180,22 +180,29 @@ def styled_conv_reference(x, weight, style, noise, noise_strength, bias):
 
 def pallas_styled_conv_mode() -> str:
     """Dispatch mode, from the v5e measurement (benchmarks/modconv_bench.py,
-    docs/DESIGN.md §3): the kernel beats XLA 1.25-1.4x when the channel
-    count fills the 128-lane VPU/MXU width without huge blocks (cin 128-256,
-    i.e. synthesis resolutions 128/256 in config-f) and LOSES below 128
-    channels where lane padding doubles/quadruples every buffer.
+    docs/DESIGN.md §3).  Measured per-layer (batch-8 bf16): the kernel wins
+    only where the channel count exactly fills the 128-lane MXU width
+    without oversized blocks (res 256/cin 128: 0.90x, res 128/cin 256:
+    0.98x) and loses elsewhere (up to 2.6x at 32^2, 1.46x at 1024^2 where
+    32-channel lane padding quadruples every buffer).  END-TO-END the
+    window is a wash (62.1 vs 60.0 ms full 1024^2 synthesis): the Pallas
+    call boundary breaks XLA's fusion of the surrounding upsample/blur/
+    ToRGB, costing more than the ~0.4 ms the two layers save.  Default is
+    therefore the XLA composite ('off'); the kernel stays available for
+    experiments.
 
-    TPUFUSION_PALLAS_MODCONV: unset/'auto' -> measured window on TPU;
-    '1'/'all' -> everywhere (experiments); '0'/'off' -> never.
+    TPUFUSION_PALLAS_MODCONV: unset/'0'/'off' -> never (measured default);
+    'window'/'auto' -> the microbench win window (cin 128-256);
+    '1'/'all' -> everywhere.
     """
     if not (_HAS_PALLAS and jax.default_backend() in ("tpu", "axon")):
         return "off"
-    v = os.environ.get("TPUFUSION_PALLAS_MODCONV", "auto").lower()
-    if v in ("0", "off"):
-        return "off"
+    v = os.environ.get("TPUFUSION_PALLAS_MODCONV", "off").lower()
     if v in ("1", "all"):
         return "all"
-    return "auto"
+    if v in ("window", "auto"):
+        return "window"
+    return "off"
 
 
 def styled_conv(x, weight, style, noise, noise_strength, bias,
@@ -203,16 +210,16 @@ def styled_conv(x, weight, style, noise, noise_strength, bias,
     """Dispatch between the Pallas kernel and the XLA composite.
 
     Structural requirements for the kernel: 3x3 weight, even H/W, H >= 16.
-    With ``use_pallas=None`` the measured-window policy applies (see
-    ``pallas_styled_conv_mode``); an explicit True forces the kernel
-    wherever it is structurally possible.
+    With ``use_pallas=None`` the measured default applies — the XLA
+    composite, see ``pallas_styled_conv_mode``; an explicit True forces
+    the kernel wherever it is structurally possible.
     """
     h, w, cin = x.shape[1], x.shape[2], x.shape[3]
     structural = (weight.shape[0] == 3 and h >= 16
                   and h % 2 == 0 and w % 2 == 0)
     if use_pallas is None:
         mode = pallas_styled_conv_mode()
-        use_pallas = mode == "all" or (mode == "auto" and 128 <= cin <= 256)
+        use_pallas = mode == "all" or (mode == "window" and 128 <= cin <= 256)
     if not (use_pallas and structural):
         return _xla_styled_conv(x, weight, style, noise, noise_strength, bias)
     return fused_styled_conv(x, weight, style, noise, noise_strength, bias)
