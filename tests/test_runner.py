@@ -53,6 +53,34 @@ class TestDispatch:
         (adv,) = dispatch_attack(pipeline, "pgd", inputs, target, cfg, jax.random.key(6))
         assert float(jnp.max(jnp.abs(adv - inputs))) <= 0.04 + 1e-5
 
+    def test_patch_white_box_trains_and_reuses(self, pipeline, batch, tmp_path):
+        """Train a patch (run_dir persists patch.npz), then reuse it via
+        patch_npz without retraining — the regenerate=0 path
+        (`adversarial_patch.py:211-213`)."""
+        import numpy as np
+
+        inputs, target = batch
+        cfg = AttackRunConfig(dataset_name="church", max_count=2, epochs=1,
+                              patch_size=0.2)
+        run_dir = str(tmp_path)
+        (adv,) = dispatch_attack(pipeline, "patch_white_box", inputs, target,
+                                 cfg, jax.random.key(9), run_dir=run_dir)
+        npz = os.path.join(run_dir, "patch.npz")
+        assert os.path.exists(npz)
+        assert adv.shape == inputs.shape
+
+        reuse = AttackRunConfig(dataset_name="church", regenerate=False,
+                                patch_npz=npz)
+        (adv2,) = dispatch_attack(pipeline, "patch_white_box", inputs, target,
+                                  reuse, jax.random.key(10))
+        np.testing.assert_allclose(np.asarray(adv2), np.asarray(adv),
+                                   atol=1e-6)
+
+        bad = AttackRunConfig(dataset_name="church", regenerate=False)
+        with pytest.raises(ValueError):
+            dispatch_attack(pipeline, "patch_white_box", inputs, target, bad,
+                            jax.random.key(11))
+
     def test_unknown_attack_raises(self, pipeline, batch):
         inputs, target = batch
         cfg = AttackRunConfig(dataset_name="church")

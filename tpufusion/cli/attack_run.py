@@ -48,8 +48,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--whitebox_stepwise", action="store_true",
                    help="run white-box attacks with the stepwise executor")
     p.add_argument("--max_count", type=int, default=50)
+    p.add_argument("--epochs", type=int, default=1,
+                   help="patch-training epochs over the train set")
     p.add_argument("--patch_type", default="square", choices=["square", "circle"])
     p.add_argument("--patch_size", type=float, default=0.1)
+    p.add_argument("--patch_npz", default=None,
+                   help="precomputed patch.npz (patch+mask) — reuse instead "
+                        "of retraining (the reference's regenerate=0 path, "
+                        "adversarial_patch.py:211-213)")
     p.add_argument("--paste_times", type=int, default=3)
     p.add_argument("--scale", type=float, default=0.4)
     p.add_argument("--pgd_steps", type=int, default=40)
@@ -133,6 +139,8 @@ def main(argv=None) -> int:
         dataset_name=args.dataset, attacks=tuple(args.attacks), lr=args.lr,
         n_iters=args.n_iters, which_adv=args.which_adv, max_count=args.max_count,
         whitebox_execution="stepwise" if args.whitebox_stepwise else "scan",
+        epochs=args.epochs, regenerate=args.patch_npz is None,
+        patch_npz=args.patch_npz,
         patch_type=args.patch_type, patch_size=args.patch_size,
         paste_times=args.paste_times, scale=args.scale, pgd_steps=args.pgd_steps,
         train_size=args.train_size, test_size=args.test_size,

@@ -79,7 +79,8 @@ class AttackRunConfig:
     max_count: int = 50
     patch_type: str = "square"
     patch_size: float = 0.1
-    regenerate: bool = True
+    regenerate: bool = True  # False -> reuse patch_npz (`--regenerate 0`)
+    patch_npz: Optional[str] = None  # precomputed patch+mask npz to reuse
 
     # paste / out-domain (`--paste_times`)
     paste_times: int = 3

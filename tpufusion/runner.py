@@ -146,14 +146,25 @@ def dispatch_attack(
         ]
 
     if attack == "patch_white_box":
-        pcfg = PatchConfig(
-            patch_type=cfg.patch_type, patch_frac=cfg.patch_size,
-            max_count=cfg.max_count, epochs=cfg.epochs,
-        )
-        imgs = train_images if train_images is not None else [
-            inputs[i : i + 1] for i in range(inputs.shape[0])
-        ]
-        canvas, mask = train_patch(pipeline, imgs, key, pcfg, target_img)
+        if not cfg.regenerate or cfg.patch_npz:
+            # reuse a previously trained patch (`--regenerate 0` semantics,
+            # `adversarial_patch.py:211-213`)
+            if not cfg.patch_npz:
+                raise ValueError(
+                    "regenerate=False requires patch_npz pointing at a "
+                    "previously saved patch.npz (patch+mask)")
+            data = np.load(cfg.patch_npz)
+            canvas = jnp.asarray(data["patch"])
+            mask = jnp.asarray(data["mask"])
+        else:
+            pcfg = PatchConfig(
+                patch_type=cfg.patch_type, patch_frac=cfg.patch_size,
+                max_count=cfg.max_count, epochs=cfg.epochs,
+            )
+            imgs = train_images if train_images is not None else [
+                inputs[i : i + 1] for i in range(inputs.shape[0])
+            ]
+            canvas, mask = train_patch(pipeline, imgs, key, pcfg, target_img)
         if run_dir:
             np.savez(os.path.join(run_dir, "patch.npz"),
                      patch=np.asarray(canvas), mask=np.asarray(mask))
