@@ -145,6 +145,21 @@ class TestCLI:
         ds_dir = tmp_path / "church"
         assert ds_dir.exists() and any(ds_dir.iterdir())
 
+    def test_attack_run_cli_max_num_fusion(self, tmp_path):
+        """--max_num_fusion N evaluates N independent fusion groups, each in
+        its own numbered run dir (interpolation.py:1265 batch loop)."""
+        from tpufusion.cli.attack_run import main
+
+        rc = main([
+            "--dataset", "church", "--tiny", "--size", "32",
+            "--attacks", "dp_noise", "--max_num_fusion", "2",
+            "--save_dir", str(tmp_path),
+        ])
+        assert rc == 0
+        run_dirs = [d for d in os.listdir(tmp_path / "church")
+                    if "dp_noise" in d]
+        assert len(run_dirs) == 2
+
     def test_attack_run_cli_with_config_preset(self, tmp_path):
         """JSON preset drives the run; explicit CLI flags override it."""
         import json

@@ -61,6 +61,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pgd_steps", type=int, default=40)
     p.add_argument("--train_size", type=int, default=2000)
     p.add_argument("--test_size", type=int, default=1000)
+    p.add_argument("--max_num_fusion", type=int, default=1,
+                   help="number of independent fusion groups to evaluate "
+                        "(interpolation.py:1265 batch loop)")
     p.add_argument("--hybrid_adv", action="store_true")
     p.add_argument("--transfer_chain", action="store_true",
                    help="run the classifier-transfer chain: attack the "
@@ -144,6 +147,7 @@ def main(argv=None) -> int:
         patch_type=args.patch_type, patch_size=args.patch_size,
         paste_times=args.paste_times, scale=args.scale, pgd_steps=args.pgd_steps,
         train_size=args.train_size, test_size=args.test_size,
+        max_num_fusion=args.max_num_fusion,
         hybrid_adv=args.hybrid_adv, save_img=not args.no_save_img,
         image_size=args.size,
         hybrid_adv_from_existing=bool(args.hybrid_from_dirs),
@@ -189,11 +193,13 @@ def main(argv=None) -> int:
               f"runs (counts {result['counts']}); artifacts under {dataset_dir}")
         return 0
 
+    n_groups = max(cfg.max_num_fusion, 1)
     if args.inputs_path:
         from tpufusion.runner import load_existing_inputs
 
         inputs = load_existing_inputs(args.inputs_path, n, pipeline.image_size)
         print(f"[attack_run] reusing saved inputs from {args.inputs_path}")
+        input_groups = [inputs]
     elif args.images_dir:
         preprocess = None
         if args.align:
@@ -225,17 +231,31 @@ def main(argv=None) -> int:
             test_size=min(cfg.test_size, len(ds)), test_batch_size=n,
             seed=args.seed % (2**31),
         )
-        inputs = jnp.asarray(next(iter(test_loader)))
-        if inputs.shape[1] != pipeline.image_size:
-            # dataset transforms emit the reference resolution; shrink when
-            # running a reduced-size pipeline (tests / quick runs)
-            from tpufusion.core.imaging import resize_bilinear
+        loader_it = iter(test_loader)
+        input_groups = []
+        for _ in range(n_groups):
+            try:
+                batch = jnp.asarray(next(loader_it))
+            except StopIteration:
+                break
+            if batch.shape[0] < n:
+                break
+            if batch.shape[1] != pipeline.image_size:
+                # dataset transforms emit the reference resolution; shrink
+                # when running a reduced-size pipeline (tests / quick runs)
+                from tpufusion.core.imaging import resize_bilinear
 
-            inputs = resize_bilinear(inputs, pipeline.image_size,
-                                     pipeline.image_size)
+                batch = resize_bilinear(batch, pipeline.image_size,
+                                        pipeline.image_size)
+            input_groups.append(batch)
+        if not input_groups:
+            raise SystemExit(f"--images_dir yielded no full group of {n} images")
+        inputs = input_groups[0]
     else:
         print("[attack_run] no --images_dir: generating inputs from the generator")
-        inputs = generate_inputs(pipeline, n, pool.next())
+        input_groups = [generate_inputs(pipeline, n, pool.next())
+                        for _ in range(n_groups)]
+        inputs = input_groups[0]
 
     if args.target_image:
         target = jnp.asarray(load_image(args.target_image, pipeline.image_size))
@@ -275,26 +295,31 @@ def main(argv=None) -> int:
         discriminator = (d, d_vars)
         print(f"[attack_run] realism scoring with D from {d_ckpt}")
 
-    results = run_experiment(
-        pipeline, cfg, inputs, target, pool.next(),
-        save_root=dataset_dir if cfg.save_img else None,
-        discriminator=discriminator,
-    )
-
-    if results.get("realism"):
-        # the reference prints D logits of benign vs adversarial fused images
-        # (`attack_main2.py:1029-1032,1091-1094`, commented-in blocks)
-        print(f"[attack_run] realism(D): benign fused "
-              f"{float(jnp.mean(results['realism']['fused_spatial'])):+.4f}")
-    for attack in cfg.attacks:
-        for r in results[attack]:
-            noise = float(jnp.mean(r["noise"]))
-            ssim_all = float(r["ssim_spatial"][-1])
-            msg = (f"[attack_run] {attack}: input-noise MSE {noise:.5f}, "
-                   f"spatial SSIM(all-adv vs benign) {ssim_all:.4f}")
-            if r.get("adv_realism") is not None:
-                msg += f", realism(D) adv fused {float(jnp.mean(r['adv_realism'])):+.4f}"
-            print(msg)
+    # one run_experiment per fusion group (`interpolation.py:1265` evaluates
+    # max_num_fusion independent batches; each gets its own numbered run dir)
+    for gi, group in enumerate(input_groups):
+        results = run_experiment(
+            pipeline, cfg, group, target, pool.next(),
+            save_root=dataset_dir if cfg.save_img else None,
+            discriminator=discriminator,
+        )
+        tag = f" [group {gi}]" if len(input_groups) > 1 else ""
+        if results.get("realism"):
+            # the reference prints D logits of benign vs adversarial fused
+            # images (`attack_main2.py:1029-1032,1091-1094`, commented-in)
+            print(f"[attack_run]{tag} realism(D): benign fused "
+                  f"{float(jnp.mean(results['realism']['fused_spatial'])):+.4f}")
+        for attack in cfg.attacks:
+            for r in results[attack]:
+                noise = float(jnp.mean(r["noise"]))
+                ssim_all = float(r["ssim_spatial"][-1])
+                msg = (f"[attack_run]{tag} {attack}: input-noise MSE "
+                       f"{noise:.5f}, spatial SSIM(all-adv vs benign) "
+                       f"{ssim_all:.4f}")
+                if r.get("adv_realism") is not None:
+                    msg += (f", realism(D) adv fused "
+                            f"{float(jnp.mean(r['adv_realism'])):+.4f}")
+                print(msg)
     print(f"[attack_run] artifacts under {dataset_dir}")
     return 0
 
