@@ -85,6 +85,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="stylegan2-ada pkl with D for realism scoring "
                         "(attack_main2.py:934-938)")
     p.add_argument("--no_save_img", action="store_true")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="wrap the experiment loop in a jax profiler trace "
+                        "written to DIR (view with tensorboard/xprof)")
     return p
 
 
@@ -295,9 +298,18 @@ def main(argv=None) -> int:
         discriminator = (d, d_vars)
         print(f"[attack_run] realism scoring with D from {d_ckpt}")
 
+    import contextlib
+
+    profile_ctx = contextlib.nullcontext()
+    if args.profile:
+        from tpufusion.utils.logging import trace_profile
+
+        profile_ctx = trace_profile(args.profile)
+        print(f"[attack_run] profiling to {args.profile}")
+
     # one run_experiment per fusion group (`interpolation.py:1265` evaluates
     # max_num_fusion independent batches; each gets its own numbered run dir)
-    for gi, group in enumerate(input_groups):
+    def run_group(gi: int, group) -> None:
         results = run_experiment(
             pipeline, cfg, group, target, pool.next(),
             save_root=dataset_dir if cfg.save_img else None,
@@ -320,6 +332,10 @@ def main(argv=None) -> int:
                     msg += (f", realism(D) adv fused "
                             f"{float(jnp.mean(r['adv_realism'])):+.4f}")
                 print(msg)
+
+    with profile_ctx:
+        for gi, group in enumerate(input_groups):
+            run_group(gi, group)
     print(f"[attack_run] artifacts under {dataset_dir}")
     return 0
 
