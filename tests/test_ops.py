@@ -200,6 +200,29 @@ class TestFusedStyledConv:
     """Pallas fused modconv+noise+bias+lrelu kernel vs the XLA composite
     (interpret mode on CPU; real-TPU measurement in benchmarks/modconv_bench)."""
 
+    def test_row_tile_invariants(self):
+        """th must be even (halo blocks index at (r+1)*th//2) and divide h
+        (grid = h//th) for EVERY even h — not just powers of two."""
+        from tpufusion.ops.styled_conv import _row_tile
+
+        for h in range(16, 130, 2):
+            for cin in (8, 128, 512, 2048):
+                for itemsize in (2, 4):
+                    th = _row_tile(h, h, cin, itemsize)
+                    assert th % 2 == 0, (h, cin, itemsize, th)
+                    assert h % th == 0, (h, cin, itemsize, th)
+
+    def test_non_power_of_two_height_parity(self):
+        """A non-power-of-two (but even) H goes through the guarded tile
+        path and still matches the XLA composite."""
+        from tpufusion.ops.styled_conv import _pallas_styled_conv, _xla_styled_conv
+
+        args = self._args(n=1, h=24, w=24, cin=8, cout=16)
+        ref = _xla_styled_conv(*args)
+        out = _pallas_styled_conv(*args, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
+
     def _args(self, n=2, h=32, w=32, cin=16, cout=24):
         x = jax.random.normal(jax.random.key(1), (n, h, w, cin))
         wt = jax.random.normal(jax.random.key(2), (3, 3, cin, cout))

@@ -179,6 +179,37 @@ class TestCLI:
         assert rc == 0
         assert (tmp_path / "runs" / "church").exists()
 
+    def test_attack_run_cli_preset_paths_and_flags_round_trip(self, tmp_path):
+        """Preset paths (target_image) and CLI flags outside the numeric
+        override table (--max_num_fusion, --no_save_img) must all take
+        effect with --config (code-review r2 findings)."""
+        import json
+
+        import numpy as np
+        from PIL import Image
+
+        from tpufusion.cli.attack_run import main
+
+        tgt = tmp_path / "target.png"
+        Image.fromarray(
+            (np.linspace(0, 255, 32 * 32 * 3) % 255).astype(np.uint8)
+            .reshape(32, 32, 3)).save(tgt)
+        preset = tmp_path / "preset.json"
+        preset.write_text(json.dumps({
+            "dataset_name": "church",
+            "attacks": ["dp_noise"],
+            "paths": {"target_image": str(tgt)},
+        }))
+        rc = main([
+            "--config", str(preset), "--tiny", "--size", "32",
+            "--max_num_fusion", "2", "--no_save_img",
+            "--save_dir", str(tmp_path / "runs"),
+        ])
+        assert rc == 0
+        # --no_save_img honored under --config: no run dirs were written
+        ds_dir = tmp_path / "runs" / "church"
+        assert not any("dp_noise" in d for d in os.listdir(ds_dir))
+
     def test_load_config_presets_parse(self):
         """Every shipped configs/*.json preset loads into AttackRunConfig."""
         import glob

@@ -54,12 +54,6 @@ def psnr(a, b) -> float:
     return float(10.0 * np.log10(4.0 / max(m, 1e-12)))
 
 
-def _load_panels(path: str, n: int, size: int):
-    from tpufusion.data.adv_inputs import crop_montage_panels
-
-    return crop_montage_panels(path, n, size)
-
-
 def check_mode(pipeline, images_dir: str, mode: str, out_dir: str | None,
                tolerance: float):
     """Run the parity comparison for one fusion mode; returns result rows."""

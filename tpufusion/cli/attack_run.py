@@ -117,13 +117,25 @@ def main(argv=None) -> int:
             ("patch_size", "patch_size"), ("paste_times", "paste_times"),
             ("scale", "scale"), ("pgd_steps", "pgd_steps"),
             ("train_size", "train_size"), ("test_size", "test_size"),
-            ("size", "image_size"),
+            ("size", "image_size"), ("epochs", "epochs"),
+            ("patch_npz", "patch_npz"), ("max_num_fusion", "max_num_fusion"),
+            ("which_adv", "which_adv"),
         ]:
             val = getattr(args, cli_key)
             if val != getattr(defaults, cli_key) and val is not None:
                 setattr(cfg, cfg_key, val)
         if args.attacks != defaults.attacks:
             cfg.attacks = tuple(args.attacks)
+        if args.patch_npz:
+            cfg.regenerate = False
+        if args.whitebox_stepwise:
+            cfg.whitebox_execution = "stepwise"
+        if args.hybrid_adv:
+            cfg.hybrid_adv = True
+        if args.no_save_img:
+            cfg.save_img = False
+        if args.inputs_path:
+            cfg.use_existing_data = True
         for cli_key, path_key in [
             ("images_dir", "images_dir"), ("save_dir", "save_dir"),
             ("stylegan_ckpt", "stylegan_ckpt"), ("e4e_ckpt", "e4e_ckpt"),
@@ -134,10 +146,19 @@ def main(argv=None) -> int:
             val = getattr(args, cli_key)
             if val != getattr(defaults, cli_key) and val is not None:
                 setattr(cfg.paths, path_key, val)
+        # reflect resolved preset values back into args — ALL later branches
+        # (input loading, target, checkpoints) read args.*, so every path the
+        # preset can carry must round-trip here, not just dataset/save_dir
         args.dataset = cfg.dataset_name
         args.save_dir = cfg.paths.save_dir
         if cfg.image_size is not None:
             args.size = cfg.image_size
+        if cfg.paths.images_dir and not args.images_dir:
+            args.images_dir = cfg.paths.images_dir
+        if cfg.paths.target_image and not args.target_image:
+            args.target_image = cfg.paths.target_image
+        if cfg.paths.adv_inputs_path and not args.adv_inputs_path:
+            args.adv_inputs_path = cfg.paths.adv_inputs_path
         _run_cfg = cfg
     else:
         _run_cfg = None
@@ -290,10 +311,15 @@ def main(argv=None) -> int:
         from tpufusion.models.discriminator import Discriminator
 
         nets = load_network_pkl_tensors(d_ckpt)
+        d_tensors = nets.get("D", nets.get("root"))
+        if not d_tensors:
+            raise SystemExit(
+                f"--discriminator_ckpt {d_ckpt} contains no 'D' network "
+                f"(found: {sorted(nets)})")
         d = Discriminator(size=pipeline.image_size,
                           channel_multiplier=1 if args.tiny else 2,
                           policy=pipeline.policy)
-        d_vars = convert_ada_discriminator(nets.get("D", nets.get("root")), d)
+        d_vars = convert_ada_discriminator(d_tensors, d)
         d_vars = jax.tree.map(jnp.asarray, d_vars)
         discriminator = (d, d_vars)
         print(f"[attack_run] realism scoring with D from {d_ckpt}")

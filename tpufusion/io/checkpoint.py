@@ -235,7 +235,6 @@ def convert_ada_discriminator(tensors: Mapping, discriminator) -> dict:
     """
     t = {k: np.asarray(v) for k, v in tensors.items()}
     size = discriminator.size
-    ch4 = None
     p: dict = {
         "from_rgb": {
             "weight": _conv(t[f"b{size}.fromrgb.weight"]),

@@ -342,13 +342,13 @@ class Generator(nn.Module):
             return body(x, s)
 
         def body(x, s_):
+            from tpufusion.ops.styled_conv import noise_bias_act
+
             y = modulated_conv2d(
                 x, w, s_, demodulate=True, up=up, blur_taps=tuple(self.blur_taps)
             )
             noise = self._noise(noise_idx, y.shape[:3] + (1,), randomize, key)
-            y = y + self.noise_strength[noise_idx].astype(y.dtype) * noise.astype(y.dtype)
-            y = jax.nn.leaky_relu(y + b.astype(y.dtype), 0.2) * math.sqrt(2.0)
-            return y
+            return noise_bias_act(y, noise, self.noise_strength[noise_idx], b)
 
         if self.remat:
             body = jax.checkpoint(body)

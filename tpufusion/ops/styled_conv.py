@@ -45,11 +45,21 @@ from tpufusion.ops.modconv import modulated_conv2d
 SQRT2 = math.sqrt(2.0)
 
 
+def noise_bias_act(y, noise, noise_strength, bias):
+    """The styled-conv epilogue: noise injection + bias + leaky-ReLU·√2.
+
+    Single definition shared by the XLA composite below AND the generator's
+    general (upsampling / randomized-noise) path so the semantics cannot
+    diverge between them (rosinality ``StyledConv.forward``: NoiseInjection
+    then FusedLeakyReLU)."""
+    y = y + noise_strength.astype(y.dtype) * noise.astype(y.dtype)
+    return jax.nn.leaky_relu(y + bias.astype(y.dtype), 0.2) * SQRT2
+
+
 def _xla_styled_conv(x, weight, style, noise, noise_strength, bias):
     """The reference composite (what XLA fuses; also the VJP path)."""
     y = modulated_conv2d(x, weight, style, demodulate=True, up=False)
-    y = y + noise_strength.astype(y.dtype) * noise.astype(y.dtype)
-    return jax.nn.leaky_relu(y + bias.astype(y.dtype), 0.2) * SQRT2
+    return noise_bias_act(y, noise, noise_strength, bias)
 
 
 def _kernel(xm_ref, xh_ref, w_ref, s_ref, sig_ref, b_ref, nz_ref, out_ref):
@@ -94,7 +104,15 @@ def _row_tile(h: int, w: int, cin: int, itemsize: int) -> int:
     th = h
     while th > 8 and (th + 2) * (w + 2) * cin_padded * itemsize > budget:
         th //= 2
-    return max(th, 2)
+    # two structural requirements the budget loop can break when h is even
+    # but not a power of two: th must divide h (grid = h // th drops rows
+    # otherwise) and th must be even (the halo BlockSpec indexes 2-row
+    # blocks at (r+1)*th//2 — an odd th misaligns the halo by one row and
+    # silently corrupts the conv).  h even guarantees th=2 terminates.
+    th = max(th, 2)
+    while th % 2 or h % th:
+        th -= 1
+    return th
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -309,13 +309,18 @@ def run_experiment(
     # optional realism scoring (C22): the reference loads a stylegan2-ada D
     # and (in commented blocks, `attack_main2.py:1029-1032,1091-1094`) prints
     # D logits of inputs / fused images
+    if discriminator is not None:
+        from tpufusion.models.discriminator import realism_scores
+
+        _d, _d_vars = discriminator
+        # one jitted scorer for the whole experiment — a fresh jit(lambda)
+        # per call would re-trace/re-compile the full-resolution D every time
+        _score = jax.jit(lambda v, x: realism_scores(_d, v, x))
+
     def _realism(imgs):
         if discriminator is None:
             return None
-        d, d_vars = discriminator
-        from tpufusion.models.discriminator import realism_scores
-
-        return jax.jit(lambda v, x: realism_scores(d, v, x))(d_vars, imgs)
+        return _score(_d_vars, imgs)
 
     results["realism"] = dict(
         inputs=_realism(inputs), fused_spatial=_realism(b_sp),
