@@ -45,3 +45,52 @@ class TestCarsTrim:
 
         out = raw_get_latents(_Enc(), None, x, jnp.zeros((18, 512)), is_cars=True)
         assert out.shape[1] == 16
+
+
+class TestProgramExport:
+    """AOT serving artifacts (io/export.py): exported programs must
+    reproduce the live pipeline bit-for-tolerance after a disk roundtrip."""
+
+    def test_decode_export_roundtrip(self, tmp_path):
+        import numpy as np
+
+        from tpufusion.io import export_decode, load_program
+        from tpufusion.pipeline import create_test_pipeline
+
+        pipe = create_test_pipeline("church", jax.random.key(0), size=32)
+        path = export_decode(pipe, str(tmp_path / "decode.jexp"), batch=2)
+        dec = load_program(path)
+        codes = jax.random.normal(
+            jax.random.key(1), (2, pipe.generator.n_latent, 512)) * 0.2
+        ref = pipe.decode_fn()(pipe.drawer.gen_vars, codes)
+        out = dec(pipe.drawer.gen_vars, codes)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    def test_spatial_fusion_export_roundtrip(self, tmp_path):
+        import os
+
+        import numpy as np
+
+        from tpufusion.fusion.drawer import SWAP_TABLE
+        from tpufusion.fusion.spatial import ROLE_MAPS, spatial_fusion
+        from tpufusion.io import export_spatial_fusion, load_program
+        from tpufusion.pipeline import create_test_pipeline
+
+        pipe = create_test_pipeline("church", jax.random.key(0), size=32)
+        drawer = pipe.drawer
+        path = export_spatial_fusion(drawer, str(tmp_path / "fusion.jexp"))
+        assert os.path.exists(path + ".roles")
+        fuse = load_program(path)
+        cfg = ROLE_MAPS["church"]
+        lat = jax.random.normal(
+            jax.random.key(2),
+            (len(cfg["roles"]), drawer.generator.n_latent, 512)) * 0.2
+        ref_img, _, _ = spatial_fusion(drawer, lat)
+        by_role = {r: lat[i][None] for i, r in enumerate(cfg["roles"])}
+        provided = [k for k, _ in SWAP_TABLE if k in cfg["kwargs"]]
+        out_img = fuse(
+            drawer.gen_vars, drawer.blend_params, drawer.mean_latent,
+            by_role[cfg["base"]],
+            *(by_role[cfg["kwargs"][k]] for k in provided))
+        np.testing.assert_allclose(np.asarray(out_img), np.asarray(ref_img),
+                                   atol=1e-5)

@@ -10,6 +10,12 @@ from tpufusion.io.attack_state import (
     run_whitebox_resumable,
     save_attack_state,
 )
+from tpufusion.io.export import (
+    export_decode,
+    export_program,
+    export_spatial_fusion,
+    load_program,
+)
 from tpufusion.io.checkpoint import (
     convert_ada_discriminator,
     convert_e4e_checkpoint,
