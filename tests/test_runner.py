@@ -456,3 +456,27 @@ class TestRealismScoring:
         assert results["realism"]["inputs"].shape == (inputs.shape[0],)
         assert results["realism"]["fused_spatial"].shape == (1,)
         assert results["dp_noise"][0]["adv_realism"].shape == (1,)
+
+
+class TestExportProgramsCLI:
+    def test_export_and_serve_side_load(self, tmp_path):
+        """export_programs writes decode/fusion artifacts + params.npz; the
+        serving side reconstructs images with only load_program/load_pytree."""
+        import jax.numpy as jnp
+
+        from tpufusion.cli.export_programs import main
+        from tpufusion.io import load_program
+        from tpufusion.io.params_io import load_pytree
+
+        out = str(tmp_path / "artifacts")
+        rc = main(["--dataset", "church", "--tiny", "--size", "32",
+                   "--batch", "2", "--out", out])
+        assert rc == 0
+        dec = load_program(os.path.join(out, "decode.jexp"))
+        n_latent = dec.in_avals[-1].shape[1]  # recorded expected shapes
+        params = load_pytree(os.path.join(out, "params.npz"))
+        codes = jax.random.normal(jax.random.key(1), (2, n_latent, 512)) * 0.2
+        img = dec(params["gen_vars"], codes)
+        assert img.shape == (2, 32, 32, 3)
+        assert bool(jnp.all(jnp.isfinite(img)))
+        assert os.path.exists(os.path.join(out, "fusion.jexp.roles"))

@@ -33,10 +33,17 @@ def export_program(fn, example_args, path: str) -> str:
 
 
 def load_program(path: str):
-    """Deserialize an exported program; returns a callable (jit-compatible)."""
+    """Deserialize an exported program; returns a callable (jit-compatible)
+    with ``.in_avals`` (expected shapes/dtypes) and ``.platforms`` attached."""
     with open(path, "rb") as f:
         exported = jax_export.deserialize(f.read())
-    return exported.call
+
+    def fn(*args):
+        return exported.call(*args)
+
+    fn.in_avals = exported.in_avals
+    fn.platforms = exported.platforms
+    return fn
 
 
 def export_decode(pipeline, path: str, *, batch: int = 1) -> str:
