@@ -39,3 +39,27 @@ class TestGenerartorGolden:
             np.testing.assert_array_equal(
                 np.asarray(v1["noise"][k]), np.asarray(v2["noise"][k])
             )
+
+
+class TestFusionGolden:
+    def test_fixed_seed_fusion_matches_golden(self):
+        """Drawer-level pin: same init seed + same W+ rows must reproduce the
+        committed spatial AND arithmetic fused images (full hierarchy blend +
+        synthesis; regenerate with tools in the golden's git history)."""
+        from tpufusion.fusion.arithmetic import arithmetic_fusion
+        from tpufusion.fusion.drawer import FusionDrawer
+        from tpufusion.fusion.spatial import spatial_fusion
+
+        with np.load(os.path.join(GOLDEN_DIR, "fusion_church_32_seed7.npz")) as g:
+            w = jnp.asarray(g["w"])
+            golden_sp, golden_ar = g["fused_spatial"], g["fused_arith"]
+            golden_singles = g["singles"]
+        drawer = FusionDrawer.create(
+            "church", jax.random.key(7), size=32, channel_multiplier=1,
+            mean_latent_samples=8,
+        )
+        fused_sp, singles, _ = spatial_fusion(drawer, w)
+        fused_ar, _, _ = arithmetic_fusion(drawer, w)
+        np.testing.assert_allclose(np.asarray(fused_sp), golden_sp, atol=2e-4, rtol=2e-4)
+        np.testing.assert_allclose(np.asarray(fused_ar), golden_ar, atol=2e-4, rtol=2e-4)
+        np.testing.assert_allclose(np.asarray(singles), golden_singles, atol=2e-4, rtol=2e-4)
