@@ -239,3 +239,51 @@ class TestVGGParity:
             np.testing.assert_allclose(
                 np.asarray(got), np.transpose(ref, (0, 2, 3, 1)),
                 rtol=1e-4, atol=1e-5)
+
+
+class TestDiscriminatorParity:
+    def test_ada_converter_matches_torch(self):
+        """convert_ada_discriminator numerical cross-validation: a torch
+        rosinality-architecture D's weights, renamed to the ada tensor paths
+        the converter consumes, must produce identical logits in our NHWC
+        flax Discriminator (layout transposes + the NCHW->NHWC fc reorder)."""
+        import numpy as np
+        import torch
+
+        from tests.torch_ref import DiscriminatorT, nhwc_to_nchw
+        from tpufusion.core.dtypes import Policy
+        from tpufusion.io.checkpoint import convert_ada_discriminator
+        from tpufusion.models.discriminator import Discriminator
+
+        size, cm = 32, 1
+        torch.manual_seed(5)
+        dt = DiscriminatorT(size, channel_multiplier=cm).eval()
+
+        # rename rosinality params to the ada-pkl paths the converter expects
+        t = {}
+        t[f"b{size}.fromrgb.weight"] = dt.from_rgb.weight.detach().numpy()
+        t[f"b{size}.fromrgb.bias"] = dt.from_rgb.bias.detach().numpy()
+        res = size
+        for blk in dt.blocks:
+            t[f"b{res}.conv0.weight"] = blk.conv1.weight.detach().numpy()
+            t[f"b{res}.conv0.bias"] = blk.conv1.bias.detach().numpy()
+            t[f"b{res}.conv1.weight"] = blk.conv2.weight.detach().numpy()
+            t[f"b{res}.conv1.bias"] = blk.conv2.bias.detach().numpy()
+            t[f"b{res}.skip.weight"] = blk.skip.weight.detach().numpy()
+            res //= 2
+        t["b4.conv.weight"] = dt.final_conv.weight.detach().numpy()
+        t["b4.conv.bias"] = dt.final_conv.bias.detach().numpy()
+        t["b4.fc.weight"] = dt.final_fc.weight.detach().numpy()
+        t["b4.fc.bias"] = dt.final_fc.bias.detach().numpy()
+        t["b4.out.weight"] = dt.out.weight.detach().numpy()
+        t["b4.out.bias"] = dt.out.bias.detach().numpy()
+
+        d = Discriminator(size=size, channel_multiplier=cm, policy=Policy())
+        variables = jax.tree.map(jnp.asarray, convert_ada_discriminator(t, d))
+
+        imgs = np.random.RandomState(0).uniform(
+            -1, 1, (4, size, size, 3)).astype(np.float32)
+        with torch.no_grad():
+            ref = dt(nhwc_to_nchw(imgs)).numpy()
+        out = np.asarray(d.apply(variables, jnp.asarray(imgs)))
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)

@@ -484,3 +484,82 @@ def nhwc_to_nchw(a):
     import numpy as np
 
     return torch.from_numpy(np.transpose(np.asarray(a), (0, 3, 1, 2)).copy())
+
+
+# ---------------------------------------------------------------------------
+# rosinality-architecture discriminator (what stylegan2-ada's D computes;
+# reference loads it via legacy.load_network_pkl, `attack_main2.py:934-938`)
+# ---------------------------------------------------------------------------
+
+
+class EqualConvT(nn.Module):
+    """ConvLayer of rosinality's model.py: equalized-lr conv, optional
+    blur+stride-2 downsample, bias, fused leaky-ReLU."""
+
+    def __init__(self, cin, cout, k, downsample=False, bias=True, activate=True):
+        super().__init__()
+        self.weight = nn.Parameter(torch.randn(cout, cin, k, k))
+        self.scale = 1.0 / math.sqrt(cin * k * k)
+        self.bias = nn.Parameter(torch.zeros(cout)) if bias else None
+        self.activate = activate
+        self.downsample = downsample
+        self.k = k
+        if downsample:
+            p = (4 - 2) + (k - 1)  # len(blur)=4, factor=2
+            self.blur = BlurT((1, 3, 3, 1), pad=((p + 1) // 2, p // 2))
+
+    def forward(self, x):
+        w = self.weight * self.scale
+        if self.downsample:
+            x = self.blur(x)
+            out = F.conv2d(x, w, stride=2, padding=0)
+        else:
+            out = F.conv2d(x, w, padding=self.k // 2)
+        if self.bias is not None:
+            out = out + self.bias.view(1, -1, 1, 1)
+        if self.activate:
+            out = F.leaky_relu(out, 0.2) * math.sqrt(2.0)
+        return out
+
+
+class DResBlockT(nn.Module):
+    def __init__(self, cin, cout):
+        super().__init__()
+        self.conv1 = EqualConvT(cin, cin, 3)
+        self.conv2 = EqualConvT(cin, cout, 3, downsample=True)
+        self.skip = EqualConvT(cin, cout, 1, downsample=True, bias=False,
+                               activate=False)
+
+    def forward(self, x):
+        return (self.conv2(self.conv1(x)) + self.skip(x)) / math.sqrt(2.0)
+
+
+class DiscriminatorT(nn.Module):
+    def __init__(self, size, channel_multiplier=2, stddev_group=4):
+        super().__init__()
+        ch = channel_map_torch(size, channel_multiplier)
+        self.from_rgb = EqualConvT(3, ch[size], 1)
+        self.blocks = nn.ModuleList()
+        res = size
+        while res > 4:
+            self.blocks.append(DResBlockT(ch[res], ch[res // 2]))
+            res //= 2
+        self.stddev_group = stddev_group
+        self.final_conv = EqualConvT(ch[4] + 1, ch[4], 3)
+        self.final_fc = EqualLinearT(ch[4] * 16, ch[4], activation="fused_lrelu")
+        self.out = EqualLinearT(ch[4], 1)
+
+    def forward(self, x):
+        x = self.from_rgb(x)
+        for b in self.blocks:
+            x = b(x)
+        n, c, h, w = x.shape
+        g = min(self.stddev_group, n)
+        y = x.view(g, -1, 1, c, h, w)
+        std = torch.sqrt(y.var(0, unbiased=False) + 1e-8)
+        std = std.mean([2, 3, 4], keepdim=True).squeeze(2)
+        std = std.repeat(g, 1, h, w)
+        x = torch.cat([x, std], 1)
+        x = self.final_conv(x)
+        x = x.view(n, -1)
+        return self.out(self.final_fc(x))
