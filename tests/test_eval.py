@@ -101,6 +101,24 @@ class TestPartialFusion:
         with pytest.raises(ValueError):
             partial_adv_fusion(drawer, lat, adv, mode="bogus")
 
+    def test_batched_spatial_matches_per_variant_loop(self, drawer):
+        """The one-dispatch batched spatial partial fusion must equal N+1
+        independent spatial_fusion calls (the reference's per-j loop,
+        `interpolation.py:978-1031`)."""
+        from tpufusion.fusion.spatial import spatial_fusion
+
+        n = n_inputs("church")
+        lat = jax.random.normal(
+            jax.random.key(13), (n, drawer.generator.n_latent, 512)) * 0.3
+        adv = lat + jax.random.normal(jax.random.key(14), lat.shape) * 0.05
+        batched = partial_adv_fusion(drawer, lat, adv, mode="spatial")
+        variants = partial_latent_variants(lat, adv)
+        loop = jnp.stack([
+            spatial_fusion(drawer, variants[j])[0][0] for j in range(n + 1)
+        ])
+        np.testing.assert_allclose(np.asarray(batched), np.asarray(loop),
+                                   atol=1e-4)
+
     def test_benign_fusion(self, drawer):
         n = n_inputs("church")
         lat = jax.random.normal(jax.random.key(4), (n, drawer.generator.n_latent, 512))

@@ -46,11 +46,20 @@ def partial_adv_fusion(drawer: FusionDrawer, all_latents, all_adv_latents,
         fused, _ = drawer.w_plus_to_image(means)
         return fused
     if mode == "spatial":
-        out = []
-        for j in range(variants.shape[0]):
-            fused, _, _ = spatial_fusion(drawer, variants[j])
-            out.append(fused[0])
-        return jnp.stack(out)
+        # ONE batched program for all N+1 variants: per role, the variant
+        # axis becomes the batch of that role's latent — affines, tree blend
+        # and synthesis all run once at batch N+1 instead of N+1 sequential
+        # dispatches (the reference re-runs fusion() per j,
+        # `interpolation.py:978-1031`)
+        from tpufusion.fusion.spatial import ROLE_MAPS
+
+        cfg = ROLE_MAPS[drawer.dataset]
+        by_role = {r: variants[:, i] for i, r in enumerate(cfg["roles"])}
+        kwargs = {kw: by_role[role] for kw, role in cfg["kwargs"].items()}
+        fused, _ = drawer.generate_img(
+            by_role[cfg["base"]], latents_type="w", **kwargs
+        )
+        return fused
     raise ValueError(f"mode must be 'spatial' or 'arithmetic', got {mode!r}")
 
 
