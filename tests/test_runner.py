@@ -113,6 +113,28 @@ class TestRunExperiment:
         table = [f for f in os.listdir(run_dir) if f.startswith("new_mask")]
         assert table  # metrics table written (csv fallback)
 
+    def test_loss_log_and_results_jsonl(self, pipeline, batch, tmp_path):
+        """Attacks with optimisation traces persist loss_{attack}.txt
+        (reference loss logs, interpolation.py:825-838) and every run dir
+        gets a machine-readable results.jsonl twin of the xlsx table."""
+        import json
+
+        inputs, target = batch
+        cfg = AttackRunConfig(
+            dataset_name="church", attacks=("pgd",), pgd_steps=3, save_img=True,
+        )
+        run_experiment(pipeline, cfg, inputs, target, jax.random.key(21),
+                       save_root=str(tmp_path))
+        run_dir = tmp_path / [d for d in os.listdir(tmp_path) if "pgd" in d][0]
+        log = (run_dir / "loss_pgd.txt").read_text().strip().splitlines()
+        assert len(log) == 3 and "inversion_loss:" in log[0]
+        rows = [json.loads(l) for l in
+                (run_dir / "results.jsonl").read_text().splitlines()]
+        assert rows[0]["attack"] == "pgd"
+        n = inputs.shape[0]
+        assert len(rows[0]["ssim_spatial"]) == n + 1
+        assert all(0.0 <= v <= 1.0 for v in rows[0]["ssim_spatial"])
+
     def test_hybrid_splice(self, pipeline, batch):
         inputs, target = batch
         cfg = AttackRunConfig(

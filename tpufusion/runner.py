@@ -108,6 +108,27 @@ def classifier_for(pipeline: FusionPipeline, cfg: AttackRunConfig, key):
                                   policy=pipeline.policy)
 
 
+def write_loss_log(run_dir: Optional[str], attack: str, trace) -> None:
+    """Persist per-iteration loss traces to ``loss_{attack}.txt`` — the
+    reference's inversion-loss logs (`interpolation.py:825-838`,
+    `patch/adversarial_patch.py:141-156`), written post-hoc from scan
+    outputs instead of file I/O inside the hot loop."""
+    if run_dir is None or trace is None:
+        return
+    arr = trace.get("total") if isinstance(trace, dict) else trace
+    arr = np.asarray(arr)
+    if arr.ndim == 0:
+        arr = arr[None]
+    if arr.ndim == 1:
+        arr = arr[None]
+    arr = arr.reshape(arr.shape[0], -1)
+    with open(os.path.join(run_dir, f"loss_{attack}.txt"), "w") as f:
+        for b in range(arr.shape[0]):
+            for i in range(arr.shape[1]):
+                f.write(f"{b}th img iter: {i} "
+                        f"inversion_loss:{float(arr[b, i]):.5f}\n")
+
+
 def dispatch_attack(
     pipeline: FusionPipeline,
     attack: str,
@@ -180,7 +201,8 @@ def dispatch_attack(
             target = paste_patch(inputs, target_img, cfg.paste_times)
         else:
             target = target_img
-        adv, _ = run_whitebox(pipeline, inputs, target, wcfg, cfg.which_adv)
+        adv, tr = run_whitebox(pipeline, inputs, target, wcfg, cfg.which_adv)
+        write_loss_log(run_dir, attack, tr)
         return [adv]
 
     if attack in ("pgd", "fgsm"):
@@ -202,7 +224,8 @@ def dispatch_attack(
         else:
             pcfg = PGDConfig(eps=eps, alpha=cfg.pgd_alpha * 2.0,
                              steps=cfg.pgd_steps, random_start=True)
-        adv, _ = make_pgd(loss, pcfg)(inputs, key, pipeline.enc_vars, latent_org)
+        adv, tr = make_pgd(loss, pcfg)(inputs, key, pipeline.enc_vars, latent_org)
+        write_loss_log(run_dir, attack, tr)
         return [adv]
 
     if attack in ("fusion_pgd_arith", "fusion_pgd_spatial"):
@@ -216,7 +239,8 @@ def dispatch_attack(
             pgd=PGDConfig(eps=cfg.pgd_eps * 2.0, alpha=cfg.pgd_alpha * 2.0,
                           steps=cfg.pgd_steps),
         )
-        adv, _ = make_fusion_attack(pipeline, facfg)(inputs, target_img, key)
+        adv, tr = make_fusion_attack(pipeline, facfg)(inputs, target_img, key)
+        write_loss_log(run_dir, attack, tr)
         return [adv]
 
     if attack == "pgd_classifier":
@@ -240,7 +264,8 @@ def dispatch_attack(
 
         pcfg = PGDConfig(eps=cfg.pgd_eps * 2.0, alpha=cfg.pgd_alpha * 2.0,
                          steps=cfg.pgd_steps, random_start=True)
-        adv, _ = make_pgd(ce_loss, pcfg)(inputs, key, clf_vars, labels)
+        adv, tr = make_pgd(ce_loss, pcfg)(inputs, key, clf_vars, labels)
+        write_loss_log(run_dir, attack, tr)
         if run_dir:
             # persist the transfer crops exactly how the reference reloads
             # them (`interpolation.py:1379-1394`): a padded montage image
@@ -395,6 +420,21 @@ def run_experiment(
         if store is not None:
             store.flush()
             table.save(os.path.join(run_dir, "new_mask.xlsx"))
+            # machine-readable twin of the xlsx: one JSON line per batch
+            import json
+
+            with open(os.path.join(run_dir, "results.jsonl"), "w") as f:
+                for bi, r in enumerate(attack_results):
+                    f.write(json.dumps(dict(
+                        attack=attack, batch=bi,
+                        noise_mse=float(jnp.mean(r["noise"])),
+                        cri_spatial=[float(v) for v in r["cri_spatial"]],
+                        cri_arith=[float(v) for v in r["cri_arith"]],
+                        vg_spatial=[float(v) for v in r["vg_spatial"]],
+                        vg_arith=[float(v) for v in r["vg_arith"]],
+                        ssim_spatial=[float(v) for v in r["ssim_spatial"]],
+                        ssim_arith=[float(v) for v in r["ssim_arith"]],
+                    )) + "\n")
         results[attack] = attack_results
         results.setdefault("_run_dirs", {})[attack] = run_dir
 
