@@ -185,7 +185,20 @@ def dispatch_attack(
             imgs = train_images if train_images is not None else [
                 inputs[i : i + 1] for i in range(inputs.shape[0])
             ]
-            canvas, mask = train_patch(pipeline, imgs, key, pcfg, target_img)
+            plog: list = []
+
+            def _plog(epoch, i, trace):
+                for c, v in enumerate(np.asarray(trace).ravel()):
+                    plog.append(
+                        f"epoch {epoch} img {i} count {c} loss:{float(v):.5f}")
+
+            canvas, mask = train_patch(pipeline, imgs, key, pcfg, target_img,
+                                       log_fn=_plog)
+            if run_dir and plog:
+                # patch training loss log (`adversarial_patch.py:141-156`)
+                with open(os.path.join(run_dir, "loss_patch_white_box.txt"),
+                          "w") as f:
+                    f.write("\n".join(plog) + "\n")
         if run_dir:
             np.savez(os.path.join(run_dir, "patch.npz"),
                      patch=np.asarray(canvas), mask=np.asarray(mask))
@@ -287,7 +300,8 @@ def dispatch_attack(
             lambda x, p: logits_fn(p, x),
             CWConfig(steps=cfg.cw_steps, lr=0.01),  # c = reference 1e-4 default
         )
-        adv, _ = attack_fn(inputs, labels, clf_vars)
+        adv, best_l2 = attack_fn(inputs, labels, clf_vars)
+        write_loss_log(run_dir, attack, best_l2)  # per-image best L2
         if run_dir:
             save_montage(adv, os.path.join(
                 run_dir, f"{cfg.dataset_name}_adv_images.jpg"), nrow=inputs.shape[0])
