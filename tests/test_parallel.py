@@ -174,3 +174,33 @@ class TestGraftEntry:
             f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr[-4000:]}"
         )
         assert "ok" in proc.stdout
+
+
+class TestOrbaxShardedCheckpoint:
+    def test_sharded_state_roundtrip(self, pipeline, tmp_path):
+        """Orbax save/restore of a DP-sharded whitebox state: values equal,
+        restored leaves land on the template's NamedShardings (the
+        multi-chip half of the resume story; io/orbax_io.py)."""
+        from tpufusion.io import restore_checkpoint, save_checkpoint
+
+        mesh = create_mesh(jax.devices())
+        cfg = WhiteboxConfig(lr=1e-3, n_iters=1, weights=PRESET_ATTACK_MAIN)
+        step, init, place = make_sharded_whitebox_step(pipeline, cfg, mesh)
+        b = len(jax.devices())
+        imgs = jax.random.uniform(jax.random.key(41), (b, 32, 32, 3),
+                                  minval=-1, maxval=1)
+        tgts = jnp.broadcast_to(imgs[:1], imgs.shape)
+        s_imgs, s_tgts = place(imgs, tgts)
+        with mesh:
+            state = init(s_imgs, s_tgts)
+            state, _ = step(state)
+            template = init(s_imgs, s_tgts)
+
+        path = str(tmp_path / "state_ckpt")
+        save_checkpoint(path, state)
+        restored = restore_checkpoint(path, template)
+        for a, t, r in zip(jax.tree.leaves(state), jax.tree.leaves(template),
+                           jax.tree.leaves(restored)):
+            assert r.sharding == t.sharding
+            np.testing.assert_allclose(np.asarray(a), np.asarray(r))
+        assert restored["x"].sharding.spec == template["x"].sharding.spec

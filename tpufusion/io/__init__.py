@@ -10,6 +10,10 @@ from tpufusion.io.attack_state import (
     run_whitebox_resumable,
     save_attack_state,
 )
+from tpufusion.io.orbax_io import (
+    restore_checkpoint,
+    save_checkpoint,
+)
 from tpufusion.io.export import (
     export_decode,
     export_program,
