@@ -204,3 +204,47 @@ class TestOrbaxShardedCheckpoint:
             assert r.sharding == t.sharding
             np.testing.assert_allclose(np.asarray(a), np.asarray(r))
         assert restored["x"].sharding.spec == template["x"].sharding.spec
+
+
+class TestShardedGroupFusionAttack:
+    def test_groups_match_sequential(self, pipeline):
+        """G fusion groups attacked in one sharded vmapped program must
+        reproduce the per-group sequential results (the reference's
+        max_num_fusion loop)."""
+        from tpufusion.attacks.fusion_attack import FusionAttackConfig, make_fusion_attack
+        from tpufusion.attacks.pgd import PGDConfig
+        from tpufusion.parallel import make_sharded_group_fusion_attack
+
+        cfg = FusionAttackConfig(
+            mode="arithmetic", objective="pixel",
+            pgd=PGDConfig(eps=0.04, alpha=0.02, steps=2, random_start=False),
+        )
+        g_count = len(jax.devices())
+        n = 5  # ffhq role count
+        groups = jax.random.uniform(
+            jax.random.key(51), (g_count, n, 32, 32, 3), minval=-1, maxval=1)
+        target = jax.random.uniform(jax.random.key(52), (1, 1, 32, 32, 3),
+                                    minval=-1, maxval=1)
+
+        mesh = create_mesh(jax.devices())
+        attack = make_sharded_group_fusion_attack(pipeline, cfg, mesh)
+        adv, traces = attack(groups, target, jax.random.key(53))
+        assert adv.shape == groups.shape
+        assert traces.shape == (g_count, 2)
+        # every group stays inside its own eps ball
+        assert float(jnp.max(jnp.abs(adv - groups))) <= 0.04 + 1e-5
+
+        # sequential reference: same per-group keys
+        single = make_fusion_attack(pipeline, cfg)
+        keys = jax.random.split(jax.random.key(53), g_count)
+        for gi in range(0, g_count, 3):  # spot-check a few groups
+            ref_adv, ref_trace = single.jitted(
+                groups[gi], keys[gi],
+                dict(enc=pipeline.enc_vars, gen=pipeline.drawer.gen_vars,
+                     blend=pipeline.drawer.blend_params, vgg=pipeline.vgg_vars),
+                target[0],
+            )
+            np.testing.assert_allclose(np.asarray(adv[gi]), np.asarray(ref_adv),
+                                       atol=1e-5)
+            np.testing.assert_allclose(np.asarray(traces[gi]),
+                                       np.asarray(ref_trace), rtol=1e-4)

@@ -262,3 +262,53 @@ def make_sharded_patch_train_step(pipeline, config, mesh: Mesh):
         )
 
     return step, place_batch
+
+
+def make_sharded_group_fusion_attack(pipeline, config, mesh: Mesh):
+    """Fusion-aware PGD over G independent fusion GROUPS, sharded over the
+    mesh.
+
+    Within one (N, S, S, 3) group the N inputs couple through the fused
+    image, so the batch axis of `attacks.fusion_attack` cannot be
+    data-parallelised.  The scalable axis is groups: the reference evaluates
+    them strictly sequentially (``max_num_fusion`` loop,
+    `interpolation.py:1265`); here the whole attack is vmapped over the
+    group axis and that axis sharded over ``data`` — G complete
+    encoder→blend→synthesis PGD loops run concurrently across the chips.
+
+    Returns ``attack(groups (G,N,S,S,3), targets (G|1,1,S,S,3), key) ->
+    (adv (G,N,S,S,3), traces (G, steps))``.
+    """
+    import jax.numpy as jnp
+
+    from tpufusion.attacks.fusion_attack import make_fusion_attack
+
+    single = make_fusion_attack(pipeline, config)
+    params = dict(
+        enc=pipeline.enc_vars,
+        gen=pipeline.drawer.gen_vars,
+        blend=pipeline.drawer.blend_params,
+        vgg=pipeline.vgg_vars,
+    )
+
+    vattack = jax.vmap(
+        lambda p, g, t, k: single.jitted(g, k, p, t),
+        in_axes=(None, 0, 0, 0),
+    )
+
+    @jax.jit
+    def attack_impl(p, groups, targets, keys):
+        if targets.shape[0] == 1:
+            targets = jnp.broadcast_to(
+                targets, (groups.shape[0],) + targets.shape[1:])
+        return vattack(p, groups, targets, keys)
+
+    def attack(groups, targets, key):
+        keys = jax.random.split(key, groups.shape[0])
+        groups = jax.device_put(groups, batch_sharding(mesh, groups.ndim))
+        keys = jax.device_put(keys, batch_sharding(mesh, keys.ndim))
+        with mesh:
+            return attack_impl(params, groups, targets, keys)
+
+    attack.jitted = attack_impl
+    return attack
