@@ -49,15 +49,15 @@ def main(argv=None) -> int:
     else:
         pipeline = FusionPipeline.create(args.dataset, jax.random.key(0),
                                          size=args.size)
-    if args.stylegan_ckpt:
-        from tpufusion.io import convert_stylegan2_checkpoint, load_torch_state_dict
+    if args.stylegan_ckpt or args.fusion_weights:
+        # one checkpoint-wiring implementation, shared with attack_run
+        from tpufusion.cli.attack_run import _maybe_load_checkpoints
+        from tpufusion.configs import PathsConfig
 
-        state = load_torch_state_dict(args.stylegan_ckpt)
-        pipeline.drawer.gen_vars = convert_stylegan2_checkpoint(
-            state.get("g_ema", state), pipeline.generator)
-    if args.fusion_weights:
-        pipeline.drawer.blend_params = pipeline.drawer.blender.load_fusion_nets(
-            args.fusion_weights)
+        pipeline = _maybe_load_checkpoints(pipeline, PathsConfig(
+            stylegan_ckpt=args.stylegan_ckpt,
+            fusion_weights=args.fusion_weights,
+        ))
 
     os.makedirs(args.out, exist_ok=True)
     d = export_decode(pipeline, os.path.join(args.out, "decode.jexp"),

@@ -6,10 +6,12 @@ batch, fuse, and collect the fused image; the j==N case fuses the
 all-adversarial batch.  Runs for both fusion modes (arithmetic
 `interpolation.py:921-976`, spatial `:978-1031`).
 
-TPU-native: the N+1 latent variants are built as one stacked tensor.  For
-arithmetic fusion the N+1 means collapse into ONE batched synthesis pass; for
-spatial fusion each variant reuses the same compiled ``generate_img``
-signature (no recompiles, unlike the reference's fresh eager graphs).
+TPU-native: the N+1 latent variants are built as one stacked tensor and BOTH
+modes run as one batched synthesis dispatch — arithmetic collapses the N+1
+means into the batch; spatial makes the variant axis the batch of every
+role's latent, so affines + hierarchy blend + synthesis execute once at
+batch N+1 (measured 4.9× over the per-variant loop at 1024², docs/DESIGN.md
+§9; the reference re-runs ``fusion()`` per j with fresh eager graphs).
 """
 
 from __future__ import annotations
@@ -54,6 +56,10 @@ def partial_adv_fusion(drawer: FusionDrawer, all_latents, all_adv_latents,
         from tpufusion.fusion.spatial import ROLE_MAPS
 
         cfg = ROLE_MAPS[drawer.dataset]
+        if variants.shape[1] != len(cfg["roles"]):
+            raise ValueError(
+                f"{drawer.dataset} spatial fusion needs "
+                f"{len(cfg['roles'])} latents, got {variants.shape[1]}")
         by_role = {r: variants[:, i] for i, r in enumerate(cfg["roles"])}
         kwargs = {kw: by_role[role] for kw, role in cfg["kwargs"].items()}
         fused, _ = drawer.generate_img(

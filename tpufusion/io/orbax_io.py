@@ -14,11 +14,14 @@ from __future__ import annotations
 import os
 
 import jax
-import orbax.checkpoint as ocp
 
 
 def save_checkpoint(path: str, tree) -> str:
     """Write ``tree`` (pytree of arrays, sharded or not) to ``path``."""
+    # lazy import: orbax is only needed by callers of THIS module — a
+    # top-level import would make it a hard dependency of all of tpufusion.io
+    import orbax.checkpoint as ocp
+
     path = os.path.abspath(path)
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(path, tree)
@@ -32,6 +35,8 @@ def restore_checkpoint(path: str, template):
     ``NamedSharding`` — pass a freshly-built (or ``jax.eval_shape``-style)
     state placed the way the restored one should be.
     """
+    import orbax.checkpoint as ocp
+
     path = os.path.abspath(path)
 
     def spec(leaf):

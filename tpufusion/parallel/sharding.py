@@ -304,7 +304,14 @@ def make_sharded_group_fusion_attack(pipeline, config, mesh: Mesh):
         return vattack(p, groups, targets, keys)
 
     def attack(groups, targets, key):
-        keys = jax.random.split(key, groups.shape[0])
+        g, data = groups.shape[0], mesh.shape["data"]
+        if g % data != 0:
+            raise ValueError(
+                f"group count {g} must be divisible by the mesh 'data' axis "
+                f"({data}) to shard evenly — pad the group batch or attack "
+                f"the remainder sequentially (the reference's max_num_fusion "
+                f"loop has no such constraint)")
+        keys = jax.random.split(key, g)
         groups = jax.device_put(groups, batch_sharding(mesh, groups.ndim))
         keys = jax.device_put(keys, batch_sharding(mesh, keys.ndim))
         with mesh:

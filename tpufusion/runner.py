@@ -108,25 +108,37 @@ def classifier_for(pipeline: FusionPipeline, cfg: AttackRunConfig, key):
                                   policy=pipeline.policy)
 
 
-def write_loss_log(run_dir: Optional[str], attack: str, trace) -> None:
-    """Persist per-iteration loss traces to ``loss_{attack}.txt`` — the
-    reference's inversion-loss logs (`interpolation.py:825-838`,
+def write_loss_log(run_dir: Optional[str], attack: str, trace,
+                   kind: str = "per_iter") -> None:
+    """Persist loss traces to ``loss_{attack}.txt`` — the reference's
+    inversion-loss logs (`interpolation.py:825-838`,
     `patch/adversarial_patch.py:141-156`), written post-hoc from scan
-    outputs instead of file I/O inside the hot loop."""
+    outputs instead of file I/O inside the hot loop.
+
+    ``kind`` labels the rows truthfully:
+    - ``per_iter``: 1D batch-mean loss per optimisation step;
+    - ``per_image_iter``: 2D (B, iters) — one trajectory per image;
+    - ``per_image``: 1D one final value per image (e.g. CW best L2).
+    """
     if run_dir is None or trace is None:
         return
     arr = trace.get("total") if isinstance(trace, dict) else trace
     arr = np.asarray(arr)
-    if arr.ndim == 0:
-        arr = arr[None]
-    if arr.ndim == 1:
-        arr = arr[None]
-    arr = arr.reshape(arr.shape[0], -1)
-    with open(os.path.join(run_dir, f"loss_{attack}.txt"), "w") as f:
+    lines = []
+    if kind == "per_image":
+        for b, v in enumerate(arr.reshape(-1)):
+            lines.append(f"{b}th img loss:{float(v):.5f}")
+    elif kind == "per_image_iter":
+        arr = arr.reshape(arr.shape[0], -1)
         for b in range(arr.shape[0]):
             for i in range(arr.shape[1]):
-                f.write(f"{b}th img iter: {i} "
-                        f"inversion_loss:{float(arr[b, i]):.5f}\n")
+                lines.append(f"{b}th img iter: {i} "
+                             f"inversion_loss:{float(arr[b, i]):.5f}")
+    else:  # per_iter: batch-mean per step
+        for i, v in enumerate(arr.reshape(-1)):
+            lines.append(f"iter: {i} inversion_loss:{float(v):.5f}")
+    with open(os.path.join(run_dir, f"loss_{attack}.txt"), "w") as f:
+        f.write("\n".join(lines) + "\n")
 
 
 def dispatch_attack(
@@ -185,16 +197,23 @@ def dispatch_attack(
             imgs = train_images if train_images is not None else [
                 inputs[i : i + 1] for i in range(inputs.shape[0])
             ]
+            # collect traces as device arrays; np conversion happens
+            # post-hoc so the hot loop keeps async dispatch.  Skip entirely
+            # without a run_dir (the log would be discarded).
             plog: list = []
-
-            def _plog(epoch, i, trace):
-                for c, v in enumerate(np.asarray(trace).ravel()):
-                    plog.append(
-                        f"epoch {epoch} img {i} count {c} loss:{float(v):.5f}")
+            _plog = None
+            if run_dir:
+                def _plog(epoch, i, trace):
+                    plog.append((epoch, i, trace))
 
             canvas, mask = train_patch(pipeline, imgs, key, pcfg, target_img,
                                        log_fn=_plog)
             if run_dir and plog:
+                plog = [
+                    f"epoch {e} img {i} count {c} loss:{float(v):.5f}"
+                    for e, i, tr in plog
+                    for c, v in enumerate(np.asarray(tr).ravel())
+                ]
                 # patch training loss log (`adversarial_patch.py:141-156`)
                 with open(os.path.join(run_dir, "loss_patch_white_box.txt"),
                           "w") as f:
@@ -215,7 +234,7 @@ def dispatch_attack(
         else:
             target = target_img
         adv, tr = run_whitebox(pipeline, inputs, target, wcfg, cfg.which_adv)
-        write_loss_log(run_dir, attack, tr)
+        write_loss_log(run_dir, attack, tr, kind="per_image_iter")
         return [adv]
 
     if attack in ("pgd", "fgsm"):
@@ -301,7 +320,7 @@ def dispatch_attack(
             CWConfig(steps=cfg.cw_steps, lr=0.01),  # c = reference 1e-4 default
         )
         adv, best_l2 = attack_fn(inputs, labels, clf_vars)
-        write_loss_log(run_dir, attack, best_l2)  # per-image best L2
+        write_loss_log(run_dir, attack, best_l2, kind="per_image")
         if run_dir:
             save_montage(adv, os.path.join(
                 run_dir, f"{cfg.dataset_name}_adv_images.jpg"), nrow=inputs.shape[0])
