@@ -42,20 +42,22 @@ class TestGenerartorGolden:
 
 
 class TestFusionGolden:
-    def test_fixed_seed_fusion_matches_golden(self):
+    @pytest.mark.parametrize("dataset", ["ffhq", "car", "church"])
+    def test_fixed_seed_fusion_matches_golden(self, dataset):
         """Drawer-level pin: same init seed + same W+ rows must reproduce the
         committed spatial AND arithmetic fused images (full hierarchy blend +
-        synthesis; regenerate with tools in the golden's git history)."""
+        synthesis) for every dataset tree."""
         from tpufusion.fusion.arithmetic import arithmetic_fusion
         from tpufusion.fusion.drawer import FusionDrawer
         from tpufusion.fusion.spatial import spatial_fusion
 
-        with np.load(os.path.join(GOLDEN_DIR, "fusion_church_32_seed7.npz")) as g:
+        with np.load(os.path.join(GOLDEN_DIR,
+                                  f"fusion_{dataset}_32_seed7.npz")) as g:
             w = jnp.asarray(g["w"])
             golden_sp, golden_ar = g["fused_spatial"], g["fused_arith"]
             golden_singles = g["singles"]
         drawer = FusionDrawer.create(
-            "church", jax.random.key(7), size=32, channel_multiplier=1,
+            dataset, jax.random.key(7), size=32, channel_multiplier=1,
             mean_latent_samples=8,
         )
         fused_sp, singles, _ = spatial_fusion(drawer, w)
