@@ -81,6 +81,32 @@ class TestDispatch:
             dispatch_attack(pipeline, "patch_white_box", inputs, target, bad,
                             jax.random.key(11))
 
+    def test_every_registered_attack_dispatches(self, pipeline, batch,
+                                                tmp_path):
+        """Smoke matrix over configs.ATTACK_CHOICES: every registered name
+        must dispatch end-to-end on the tiny pipeline and return batches of
+        the input shape (catches dispatch/registry drift)."""
+        import numpy as np
+
+        from tpufusion.configs import ATTACK_CHOICES
+
+        inputs, target = batch
+        # adv_generate needs a persisted crops artifact
+        adv_npz = str(tmp_path / "adv.npz")
+        np.savez(adv_npz, data=np.asarray(inputs))
+        for attack in ATTACK_CHOICES:
+            cfg = AttackRunConfig(
+                dataset_name="church", n_iters=2, max_count=2, epochs=1,
+                pgd_steps=2, cw_steps=2, patch_size=0.2,
+            )
+            cfg.paths.adv_inputs_path = adv_npz
+            advs = dispatch_attack(pipeline, attack, inputs, target, cfg,
+                                   jax.random.key(77))
+            assert len(advs) >= 1, attack
+            for adv in advs:
+                assert adv.shape == inputs.shape, attack
+                assert bool(jnp.all(jnp.isfinite(adv))), attack
+
     def test_unknown_attack_raises(self, pipeline, batch):
         inputs, target = batch
         cfg = AttackRunConfig(dataset_name="church")

@@ -94,6 +94,13 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
+    from tpufusion.configs import ATTACK_CHOICES
+
+    unknown = [a for a in (args.attacks or []) if a not in ATTACK_CHOICES]
+    if unknown:
+        raise SystemExit(
+            f"unknown attack(s) {unknown}; choices: {', '.join(ATTACK_CHOICES)}")
+
     import jax
     import jax.numpy as jnp
 
