@@ -81,6 +81,20 @@ class TestDispatch:
             dispatch_attack(pipeline, "patch_white_box", inputs, target, bad,
                             jax.random.key(11))
 
+    def test_whitebox_preset_selection(self, pipeline, batch):
+        """cfg.whitebox_preset='interpolation' must switch to the
+        interpolation.py:818 loss (different weights -> different adv)."""
+        inputs, target = batch
+        advs = {}
+        for preset in ("attack_main", "interpolation"):
+            cfg = AttackRunConfig(dataset_name="church", n_iters=3, lr=0.01,
+                                  whitebox_preset=preset)
+            (advs[preset],) = dispatch_attack(
+                pipeline, "white_box_target", inputs, target, cfg,
+                jax.random.key(91))
+        assert not np.allclose(np.asarray(advs["attack_main"]),
+                               np.asarray(advs["interpolation"]))
+
     def test_every_registered_attack_dispatches(self, pipeline, batch,
                                                 tmp_path):
         """Smoke matrix over configs.ATTACK_CHOICES: every registered name

@@ -47,6 +47,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--which_adv", type=int, nargs="*", default=[])
     p.add_argument("--whitebox_stepwise", action="store_true",
                    help="run white-box attacks with the stepwise executor")
+    p.add_argument("--whitebox_preset", default="attack_main",
+                   choices=["attack_main", "interpolation"],
+                   help="white-box loss preset: attack_main2.py:649 or "
+                        "interpolation.py:818")
     p.add_argument("--max_count", type=int, default=50)
     p.add_argument("--epochs", type=int, default=1,
                    help="patch-training epochs over the train set")
@@ -137,6 +141,8 @@ def main(argv=None) -> int:
             cfg.regenerate = False
         if args.whitebox_stepwise:
             cfg.whitebox_execution = "stepwise"
+        if args.whitebox_preset != "attack_main":
+            cfg.whitebox_preset = args.whitebox_preset
         if args.hybrid_adv:
             cfg.hybrid_adv = True
         if args.no_save_img:
@@ -173,6 +179,7 @@ def main(argv=None) -> int:
         dataset_name=args.dataset, attacks=tuple(args.attacks), lr=args.lr,
         n_iters=args.n_iters, which_adv=args.which_adv, max_count=args.max_count,
         whitebox_execution="stepwise" if args.whitebox_stepwise else "scan",
+        whitebox_preset=args.whitebox_preset,
         epochs=args.epochs, regenerate=args.patch_npz is None,
         patch_npz=args.patch_npz,
         patch_type=args.patch_type, patch_size=args.patch_size,

@@ -73,6 +73,9 @@ class AttackRunConfig:
     n_iters: Optional[int] = None  # None -> ITER_DICT[generator size]
     which_adv: List[int] = dataclasses.field(default_factory=list)
     whitebox_execution: str = "scan"  # or "stepwise" (small compile units)
+    # loss preset: 'attack_main' (`attack_main2.py:649`) or 'interpolation'
+    # (`interpolation.py:818`) — the two reference drivers differ here
+    whitebox_preset: str = "attack_main"
 
     # patch (`--epochs/--max_count/--patch_type/--patch_size`)
     epochs: int = 1

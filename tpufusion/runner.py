@@ -29,7 +29,11 @@ from tpufusion.attacks import (
     splice_hybrid,
     train_patch,
 )
-from tpufusion.attacks.whitebox import PRESET_ATTACK_MAIN, run_whitebox
+from tpufusion.attacks.whitebox import (
+    PRESET_ATTACK_MAIN,
+    PRESET_INTERPOLATION,
+    run_whitebox,
+)
 from tpufusion.configs import AttackRunConfig
 from tpufusion.eval import ResultsTable, benign_fusion, fused_image_metrics, partial_adv_fusion
 from tpufusion.eval.metrics import mse_per_image
@@ -225,7 +229,10 @@ def dispatch_attack(
 
     if attack in ("white_box_target", "white_box_patch"):
         wcfg = WhiteboxConfig(
-            lr=cfg.lr, n_iters=cfg.iters_for(size), weights=PRESET_ATTACK_MAIN,
+            lr=cfg.lr, n_iters=cfg.iters_for(size),
+            weights=(PRESET_INTERPOLATION
+                     if cfg.whitebox_preset == "interpolation"
+                     else PRESET_ATTACK_MAIN),
             execution=cfg.whitebox_execution,
         )
         if attack == "white_box_patch":
