@@ -58,7 +58,8 @@ def _rand_nhwc(key, shape):
 class TestUpfirdn2dParity:
     @pytest.mark.parametrize("up,down,pad", [
         (1, 1, (2, 1)), (2, 1, (2, 1)), (1, 2, (1, 1)), (2, 1, (1, 1)),
-        (1, 1, (-1, 2)),
+        (1, 1, (-1, 2)), (2, 2, (1, 1)), (1, 2, (2, 2)), (2, 1, (0, 3)),
+        (1, 1, (0, 0)), (1, 2, (-1, 1)),
     ])
     def test_upfirdn2d_matches_torch(self, up, down, pad):
         x = _rand_nhwc(0, (2, 9, 9, 3))
@@ -103,6 +104,7 @@ class TestEqualLinearParity:
 class TestModulatedConvParity:
     @pytest.mark.parametrize("demod,up,ksize", [
         (True, False, 3), (False, False, 1), (True, True, 3),
+        (False, False, 3), (True, False, 1), (False, True, 3),
     ])
     def test_matches_torch_grouped_formulation(self, demod, up, ksize):
         """Input-scale+output-demod (ours) == per-sample grouped conv (torch)."""
