@@ -100,6 +100,37 @@ class TestAlignmentEndToEnd:
         assert sample.shape == (64, 64, 3)
         assert sample.min() >= -1.0 and sample.max() <= 1.0
 
+    def test_invert_cli_align_path(self, trained_net, tmp_path):
+        """invert --align --landmark_net: aligned encode->latents.npz
+        (`attack_main2.py:103-104` loader path in the inversion flow)."""
+        from PIL import Image
+
+        from tpufusion.cli.invert import main
+        from tpufusion.core.imaging import to_uint8
+
+        net, variables, _, _ = trained_net
+        weights = str(tmp_path / "lm_inv.npz")
+        save_landmark_net(variables, weights)
+
+        img_dir = tmp_path / "faces_inv"
+        img_dir.mkdir()
+        imgs, _ = synth_face_batch(np.random.RandomState(13), 4, SIZE)
+        for i in range(4):
+            Image.fromarray(to_uint8(imgs[i])).resize((160, 160)).save(
+                img_dir / f"{i}.png")
+
+        out = tmp_path / "inv_out"
+        rc = main([
+            "--images_dir", str(img_dir), "--dataset", "church", "--tiny",
+            "--size", "32", "--save_dir", str(out), "--align",
+            "--landmark_net", weights, "--latents_only", "--n_sample", "2",
+        ])
+        assert rc == 0
+        import numpy as _np
+
+        lat = _np.load(out / "latents.npz")["latents"]
+        assert lat.shape[0] == 2
+
     def test_cli_align_path(self, trained_net, tmp_path):
         """attack_run --align --landmark_net: the full runnable path."""
         from PIL import Image

@@ -241,27 +241,10 @@ def main(argv=None) -> int:
     elif args.images_dir:
         preprocess = None
         if args.align:
-            from tpufusion.data.alignment import make_align_preprocess
+            from tpufusion.data.alignment import resolve_align_preprocess
 
-            if args.landmark_net:
-                from tpufusion.models.landmarks import (
-                    load_landmark_net,
-                    make_landmark_provider,
-                )
-
-                lnet, lvars = load_landmark_net(args.landmark_net)
-                landmarks_fn = make_landmark_provider(lnet, lvars)
-            elif args.dlib_predictor:
-                from tpufusion.models.landmarks import dlib_landmark_provider
-
-                landmarks_fn = dlib_landmark_provider(args.dlib_predictor)
-            else:
-                raise SystemExit(
-                    "--align needs --landmark_net <weights.npz> (see "
-                    "tpufusion.models.landmarks.train_landmark_net) or "
-                    "--dlib_predictor <file.dat>"
-                )
-            preprocess = make_align_preprocess(landmarks_fn)
+            preprocess = resolve_align_preprocess(
+                args.landmark_net, args.dlib_predictor)
         ds = ImageFolderDataset(args.images_dir, transform=transform_for(args.dataset),
                                 preprocess=preprocess)
         _, test_loader = setup_loaders(

@@ -24,6 +24,11 @@ def main(argv=None) -> int:
     p.add_argument("--n_sample", type=int, default=None)
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--latents_only", action="store_true")
+    p.add_argument("--align", action="store_true",
+                   help="FFHQ-align raw images before encoding "
+                        "(`attack_main2.py:103-104` loader path)")
+    p.add_argument("--landmark_net", default=None)
+    p.add_argument("--dlib_predictor", default=None)
     args = p.parse_args(argv)
 
     import jax
@@ -47,7 +52,14 @@ def main(argv=None) -> int:
         pipeline = FusionPipeline.create(args.dataset, jax.random.key(0), size=args.size)
         tf = transform_for(args.dataset)
 
-    ds = ImageFolderDataset(args.images_dir, transform=tf)
+    preprocess = None
+    if args.align:
+        from tpufusion.data.alignment import resolve_align_preprocess
+
+        preprocess = resolve_align_preprocess(
+            args.landmark_net, args.dlib_predictor)
+    ds = ImageFolderDataset(args.images_dir, transform=tf,
+                            preprocess=preprocess)
     n = min(args.n_sample or len(ds), len(ds))
     loader = BatchLoader(ds, np.arange(n), args.batch, shuffle=False, drop_last=False)
 

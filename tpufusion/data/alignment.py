@@ -139,3 +139,31 @@ def make_align_preprocess(landmarks_fn: Callable[[str], np.ndarray],
         return align_face(path, landmarks_fn(path), output_size=output_size)
 
     return preprocess
+
+
+def resolve_align_preprocess(landmark_net: str | None,
+                             dlib_predictor: str | None,
+                             output_size: int = 256):
+    """CLI-level helper: build the align ``preprocess`` hook from either a
+    trained LandmarkNet weights file or a dlib predictor path (shared by
+    ``attack_run --align`` and ``invert --align``).  Raises SystemExit with
+    usage guidance when neither provider is given."""
+    if landmark_net:
+        from tpufusion.models.landmarks import (
+            load_landmark_net,
+            make_landmark_provider,
+        )
+
+        lnet, lvars = load_landmark_net(landmark_net)
+        landmarks_fn = make_landmark_provider(lnet, lvars)
+    elif dlib_predictor:
+        from tpufusion.models.landmarks import dlib_landmark_provider
+
+        landmarks_fn = dlib_landmark_provider(dlib_predictor)
+    else:
+        raise SystemExit(
+            "--align needs --landmark_net <weights.npz> (see "
+            "tpufusion.models.landmarks.train_landmark_net) or "
+            "--dlib_predictor <file.dat>"
+        )
+    return make_align_preprocess(landmarks_fn, output_size=output_size)
