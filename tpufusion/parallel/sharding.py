@@ -57,31 +57,96 @@ def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
     return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
 
 
+def pad_batch_to_multiple(x, multiple: int):
+    """Pad the leading axis up to a multiple by wrapping rows from the
+    start; returns ``(padded, n_real)``.  Sharded steps need an evenly
+    divisible batch; the wrapped rows are real inputs (not zeros) so every
+    model forward sees in-distribution data, and callers slice ``[:n_real]``
+    afterwards.  The reference's loops (e.g. the ``max_num_fusion`` group
+    loop, `interpolation.py:1265`) have no divisibility constraint — this
+    keeps the DP paths free of one too."""
+    import jax.numpy as jnp
+
+    n = x.shape[0]
+    rem = (-n) % multiple
+    if rem == 0:
+        return x, n
+    reps = -(-rem // n)  # wrap as many times as needed for tiny batches
+    pad = jnp.concatenate([x] * reps, axis=0)[:rem]
+    return jnp.concatenate([x, pad], axis=0), n
+
+
 def replicate(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_generator_params(variables, mesh: Mesh):
-    """TP rule: shard the out-features of mapping/affine kernels and the
-    out-channels of synthesis conv weights over ``model``; replicate the
-    rest.  Returns the variables placed with NamedShardings."""
+def expected_tp_leaf_count(generator, model_size: int) -> int:
+    """How many generator leaves the TP rule MUST shard, derived from the
+    module's static structure (``conv_plan``/``n_mlp``) — independent of leaf
+    names, so :func:`shard_generator_params` can be verified post-hoc."""
+    n = 0
+    # mapping MLP kernels: (style_dim, style_dim)
+    if generator.style_dim % model_size == 0:
+        n += generator.n_mlp
+    # per-conv affine kernels: (style_dim, cin)
+    n += sum(1 for cin in generator.style_input_dims()
+             if cin % model_size == 0 and cin > 4)
+    # modulated conv weights: (k, k, cin, cout); to_rgb (cout=3) replicated
+    n += sum(1 for _, cout, kind in generator.conv_plan()
+             if kind != "rgb" and cout % model_size == 0 and cout > 4)
+    return n
+
+
+def shard_generator_params(variables, mesh: Mesh, generator=None):
+    """TP rule: shard the out-features of linear kernels (mapping + style
+    affines) and the out-channels of synthesis conv weights over ``model``;
+    replicate the rest.  Returns the variables placed with NamedShardings.
+
+    The predicate is *structural* (leaf rank + shape), not name-based, so a
+    renamed module cannot silently degrade to replication:
+
+    - rank-2 leaves with out-features divisible by the axis are the linear
+      kernels (the generator's only 2-D params; biases are 1-D);
+    - rank-4 leaves shaped like square 1x1/3x3 conv kernels with divisible
+      out-channels are the modulated convs (the (1, 4, 4, C) input constant
+      and (1, R, R, 1) noise buffers fail the square-kernel test; to_rgb's
+      cout=3 fails divisibility).
+
+    When ``generator`` (the flax module) is passed, the actually-sharded
+    leaf count is checked against :func:`expected_tp_leaf_count` derived
+    from the module's static plan, failing loudly if the rule ever stops
+    matching the parameter tree.
+    """
 
     model_size = mesh.shape["model"]
+    sharded_paths = []
 
     def spec_for(path, leaf):
-        name = "/".join(str(p.key) if hasattr(p, "key") else str(p) for p in path)
-        if (leaf.ndim == 2 and ("fc" in name or "affine" in name)
-                and leaf.shape[1] % model_size == 0):
+        if (leaf.ndim == 2 and leaf.shape[1] % model_size == 0
+                and leaf.shape[1] > 4):
+            sharded_paths.append(path)
             return P(None, "model")
-        if (leaf.ndim == 4 and name.startswith("params/w")
-                and leaf.shape[3] % model_size == 0):  # to_rgb (cout=3) stays replicated
+        if (leaf.ndim == 4 and leaf.shape[0] == leaf.shape[1]
+                and leaf.shape[0] in (1, 3)
+                and leaf.shape[3] % model_size == 0 and leaf.shape[3] > 4):
+            sharded_paths.append(path)
             return P(None, None, None, "model")
         return P()
 
-    return jax.tree_util.tree_map_with_path(
+    placed = jax.tree_util.tree_map_with_path(
         lambda path, leaf: jax.device_put(leaf, NamedSharding(mesh, spec_for(path, leaf))),
         variables,
     )
+    if generator is not None and model_size > 1:
+        expected = expected_tp_leaf_count(generator, model_size)
+        if len(sharded_paths) != expected:
+            names = ["/".join(str(p.key) if hasattr(p, "key") else str(p)
+                              for p in path) for path in sharded_paths]
+            raise ValueError(
+                f"TP sharding rule matched {len(sharded_paths)} generator "
+                f"leaves but the module's static plan expects {expected} "
+                f"(model={model_size}); matched: {sorted(names)}")
+    return placed
 
 
 def make_sharded_whitebox_step(pipeline, config, mesh: Mesh):
@@ -264,6 +329,85 @@ def make_sharded_patch_train_step(pipeline, config, mesh: Mesh):
     return step, place_batch
 
 
+def run_whitebox_sharded(pipeline, inputs, target_img, config, which_adv,
+                         mesh: Mesh):
+    """Driver-level DP white-box attack: the semantics of
+    ``attacks.whitebox.run_whitebox`` (`attack_main2.py:465-498`) executed
+    through :func:`make_sharded_whitebox_step` — the selected images are
+    batched, padded to the ``data`` axis (per-image optimisation is
+    independent, so the wrapped pad rows cannot perturb real rows), and every
+    step runs as one sharded program across the mesh.
+
+    Returns ``(adv_inputs, loss_trace)``; the trace is the per-step
+    batch-summed loss (``per_iter`` log kind)."""
+    import jax.numpy as jnp
+
+    n = inputs.shape[0]
+    which = sorted(set(range(n)) if not which_adv else set(which_adv))
+    idx = jnp.asarray(which)
+    sub = inputs[idx]
+    # per-image targets select the same rows (white_box_patch paste targets);
+    # a single shared target broadcasts across the selection
+    targets = (jnp.broadcast_to(target_img, sub.shape)
+               if target_img.shape[0] == 1 else target_img[idx])
+
+    data = mesh.shape["data"]
+    sub_p, n_real = pad_batch_to_multiple(sub, data)
+    targets_p, _ = pad_batch_to_multiple(targets, data)
+
+    step, init, place_batch = make_sharded_whitebox_step(pipeline, config, mesh)
+    imgs, tgts = place_batch(sub_p, targets_p)
+    losses = []
+    with mesh:
+        state = init(imgs, tgts)
+        for _ in range(config.n_iters):
+            state, loss = step(state)
+            losses.append(loss)
+    adv_sel = state["x"][:n_real]
+    return inputs.at[idx].set(adv_sel), jnp.stack(losses)
+
+
+def train_patch_sharded(pipeline, images, key, config, mesh: Mesh,
+                        target_img=None, log_fn=None):
+    """DP patch training: the DP generalisation of ``attacks.patch.
+    train_patch`` (`adversarial_patch.py:94-160`) — per epoch, the whole
+    train set forms ONE ``data``-sharded batch and the patch update is the
+    psum-averaged gradient over all placements (batch-synchronous, vs the
+    reference's strictly sequential per-image loop).  Returns the same
+    ``(canvas, mask)`` pair as ``train_patch``.
+
+    ``target_img`` is accepted for signature parity with ``train_patch``;
+    the loss is the encoder-drift objective (`adversarial_patch.py:126`),
+    which does not use it.
+    """
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpufusion.attacks.patch import (
+        canonical_canvas,
+        init_patch_circle,
+        init_patch_square,
+    )
+
+    cfg = config
+    init = init_patch_square if cfg.patch_type == "square" else init_patch_circle
+    key, kinit = jax.random.split(key)
+    patch = init(pipeline.image_size, cfg.patch_frac, kinit)
+
+    imgs = jnp.concatenate([jnp.asarray(im) for im in images], axis=0)
+    imgs, _ = pad_batch_to_multiple(imgs, mesh.shape["data"])
+
+    step, place_batch = make_sharded_patch_train_step(pipeline, cfg, mesh)
+    for epoch in range(cfg.epochs):
+        key, k = jax.random.split(key)
+        s_imgs, s_patch = place_batch(imgs, patch)
+        with mesh:
+            patch, trace = step(s_imgs, s_patch, k)
+        if log_fn is not None:
+            log_fn(epoch, 0, np.asarray(trace))
+    return canonical_canvas(patch, pipeline.image_size, cfg.patch_type)
+
+
 def make_sharded_group_fusion_attack(pipeline, config, mesh: Mesh):
     """Fusion-aware PGD over G independent fusion GROUPS, sharded over the
     mesh.
@@ -305,17 +449,20 @@ def make_sharded_group_fusion_attack(pipeline, config, mesh: Mesh):
 
     def attack(groups, targets, key):
         g, data = groups.shape[0], mesh.shape["data"]
-        if g % data != 0:
-            raise ValueError(
-                f"group count {g} must be divisible by the mesh 'data' axis "
-                f"({data}) to shard evenly — pad the group batch or attack "
-                f"the remainder sequentially (the reference's max_num_fusion "
-                f"loop has no such constraint)")
-        keys = jax.random.split(key, g)
+        # non-divisible group counts pad-and-slice (wrapped real groups, so
+        # the extra lanes run in-distribution); results keep the caller's G
+        groups, n_real = pad_batch_to_multiple(groups, data)
+        if targets.shape[0] not in (1, groups.shape[0]):
+            targets, _ = pad_batch_to_multiple(targets, data)
+        keys = jax.random.split(key, groups.shape[0])
         groups = jax.device_put(groups, batch_sharding(mesh, groups.ndim))
         keys = jax.device_put(keys, batch_sharding(mesh, keys.ndim))
         with mesh:
-            return attack_impl(params, groups, targets, keys)
+            adv, traces = attack_impl(params, groups, targets, keys)
+        if n_real != groups.shape[0]:
+            adv, traces = adv[:n_real], jax.tree.map(
+                lambda t: t[:n_real], traces)
+        return adv, traces
 
     attack.jitted = attack_impl
     return attack
