@@ -281,6 +281,20 @@ class TestFusedStyledConv:
                                    np.asarray(_xla_styled_conv(*args)),
                                    atol=1e-6)
 
+    def test_dispatch_falls_back_on_per_sample_noise(self):
+        """Batched (N, H, W, 1) noise only broadcasts on the XLA path; the
+        dispatch must not hand it to the shared-buffer Pallas kernel
+        (ADVICE r2: reshape error under use_pallas=True)."""
+        from tpufusion.ops.styled_conv import styled_conv, _xla_styled_conv
+
+        x, wt, s, _, ns, b = self._args(n=2, h=32, w=32, cin=8, cout=8)
+        noise = jax.random.normal(jax.random.key(9), (2, 32, 32, 1))
+        out = styled_conv(x, wt, s, noise, ns, b, use_pallas=True)
+        np.testing.assert_allclose(
+            np.asarray(out),
+            np.asarray(_xla_styled_conv(x, wt, s, noise, ns, b)),
+            atol=1e-6)
+
     def test_generator_output_unchanged_by_integration(self):
         """The _styled_conv rewiring must be a no-op with the kernel off."""
         from tpufusion.models.stylegan2 import create_generator

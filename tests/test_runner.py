@@ -272,6 +272,63 @@ class TestCLI:
         ds_dir = tmp_path / "runs" / "church"
         assert not any("dp_noise" in d for d in os.listdir(ds_dir))
 
+    def test_attack_run_cli_explicit_default_beats_preset(self, tmp_path):
+        """A flag explicitly typed at its parser-default value must still
+        override the preset (ADVICE r2: default-comparison lost this case)."""
+        import json
+
+        from tpufusion.cli.attack_run import main
+
+        preset = tmp_path / "preset.json"
+        preset.write_text(json.dumps({
+            "dataset_name": "church",  # CLI says ffhq — the parser default
+            "attacks": ["dp_noise"],
+        }))
+        rc = main([
+            "--config", str(preset), "--dataset", "ffhq", "--tiny",
+            "--size", "32", "--save_dir", str(tmp_path / "runs"),
+        ])
+        assert rc == 0
+        assert (tmp_path / "runs" / "ffhq").exists()
+        assert not (tmp_path / "runs" / "church").exists()
+
+    def test_attack_run_cli_preset_seed_honoured(self, tmp_path):
+        """A preset-carried seed must reach the PRNG pool (ADVICE r2: the
+        pool used to be seeded before the preset loaded)."""
+        import json
+
+        from tpufusion.cli.attack_run import main
+
+        runs_a, runs_b, runs_c = (tmp_path / x for x in ("a", "b", "c"))
+        base = {"dataset_name": "church", "attacks": ["dp_noise"]}
+        for runs, seed in ((runs_a, 1), (runs_b, 1), (runs_c, 2)):
+            preset = tmp_path / f"preset_{runs.name}.json"
+            preset.write_text(json.dumps(dict(base, seed=seed)))
+            rc = main(["--config", str(preset), "--tiny", "--size", "32",
+                       "--save_dir", str(runs)])
+            assert rc == 0
+
+        def noise_mse(runs):
+            d = runs / "church"
+            (adir,) = [x for x in os.listdir(d) if "dp_noise" in x]
+            line = (d / adir / "results.jsonl").read_text().splitlines()[0]
+            return json.loads(line)["noise_mse"]
+
+        assert noise_mse(runs_a) == noise_mse(runs_b)  # same seed
+        assert noise_mse(runs_a) != noise_mse(runs_c)  # different seed
+
+    def test_transfer_chain_rejects_no_save_img(self, tmp_path):
+        """--transfer_chain needs persisted crops; combining it with
+        --no_save_img must error, not silently write artifacts (ADVICE r2)."""
+        import pytest as _pytest
+
+        from tpufusion.cli.attack_run import main
+
+        with _pytest.raises(SystemExit, match="transfer_chain"):
+            main(["--dataset", "church", "--tiny", "--size", "32",
+                  "--transfer_chain", "--no_save_img",
+                  "--save_dir", str(tmp_path / "runs")])
+
     def test_load_config_presets_parse(self):
         """Every shipped configs/*.json preset loads into AttackRunConfig."""
         import glob

@@ -88,6 +88,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--discriminator_ckpt", default=None,
                    help="stylegan2-ada pkl with D for realism scoring "
                         "(attack_main2.py:934-938)")
+    p.add_argument("--mesh", default=None, metavar="SPEC",
+                   help="run on a device mesh: 'data=N[,model=M]' (or just "
+                        "'N' for pure DP). Routes white_box_* and "
+                        "patch_white_box through their data-parallel steps, "
+                        "fusion_pgd_* with --max_num_fusion>1 through the "
+                        "group-parallel attack, and TP-shards the generator "
+                        "when model>1. Test multi-device on one host with "
+                        "XLA_FLAGS=--xla_force_host_platform_device_count=N "
+                        "JAX_PLATFORMS=cpu")
     p.add_argument("--no_save_img", action="store_true")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="wrap the experiment loop in a jax profiler trace "
@@ -95,8 +104,53 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _parse_mesh_spec(spec: str) -> dict:
+    """'data=4,model=2' | 'data=8' | '8' -> {'data': ..., 'model': ...}."""
+    out = {"model": 1}
+    for part in spec.split(","):
+        k, _, v = part.partition("=")
+        if not v:
+            k, v = "data", k
+        if k not in ("data", "model"):
+            raise SystemExit(f"--mesh: unknown axis {k!r} (use data/model)")
+        try:
+            out[k] = int(v)
+        except ValueError:
+            raise SystemExit(f"--mesh: bad axis size {v!r} in {spec!r}")
+    return out
+
+
+def _explicit_dests(parser: argparse.ArgumentParser, argv) -> set:
+    """Dests of flags literally present on the command line.
+
+    Preset merging must know which flags the user actually typed — comparing
+    parsed values against parser defaults mistakes an explicit
+    ``--dataset ffhq`` for "unset" (ADVICE r2).  Handles ``--flag=value``
+    and argparse's unambiguous prefix abbreviations.
+    """
+    argv = list(sys.argv[1:] if argv is None else argv)
+    opts = {}
+    for action in parser._actions:
+        for s in action.option_strings:
+            opts[s] = action.dest
+    seen = set()
+    for tok in argv:
+        if not tok.startswith("--"):
+            continue
+        name = tok.split("=", 1)[0]
+        if name in opts:
+            seen.add(opts[name])
+            continue
+        matches = {d for s, d in opts.items() if s.startswith(name)}
+        if len(matches) == 1:  # unambiguous abbreviation
+            seen.add(next(iter(matches)))
+    return seen
+
+
 def main(argv=None) -> int:
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    explicit = _explicit_dests(parser, argv)
 
     from tpufusion.configs import ATTACK_CHOICES
 
@@ -115,13 +169,13 @@ def main(argv=None) -> int:
     from tpufusion.pipeline import FusionPipeline, create_test_pipeline
     from tpufusion.runner import generate_inputs, run_experiment
 
-    pool = seed_everything(args.seed)
     if args.config:
         from tpufusion.configs import load_config
 
         cfg = load_config(args.config)
-        # CLI flags the user explicitly set override the preset
-        defaults = build_parser().parse_args([])
+        # CLI flags the user explicitly TYPED override the preset — detected
+        # from argv, so a flag explicitly set to its parser default (e.g.
+        # ``--dataset ffhq`` against a church preset) still wins (ADVICE r2)
         for cli_key, cfg_key in [
             ("dataset", "dataset_name"), ("lr", "lr"), ("n_iters", "n_iters"),
             ("max_count", "max_count"), ("patch_type", "patch_type"),
@@ -130,21 +184,21 @@ def main(argv=None) -> int:
             ("train_size", "train_size"), ("test_size", "test_size"),
             ("size", "image_size"), ("epochs", "epochs"),
             ("patch_npz", "patch_npz"), ("max_num_fusion", "max_num_fusion"),
-            ("which_adv", "which_adv"),
+            ("which_adv", "which_adv"), ("seed", "seed"),
+            ("whitebox_preset", "whitebox_preset"),
         ]:
-            val = getattr(args, cli_key)
-            if val != getattr(defaults, cli_key) and val is not None:
-                setattr(cfg, cfg_key, val)
-        if args.attacks != defaults.attacks:
+            if cli_key in explicit:
+                setattr(cfg, cfg_key, getattr(args, cli_key))
+        if "attacks" in explicit:
             cfg.attacks = tuple(args.attacks)
         if args.patch_npz:
             cfg.regenerate = False
         if args.whitebox_stepwise:
             cfg.whitebox_execution = "stepwise"
-        if args.whitebox_preset != "attack_main":
-            cfg.whitebox_preset = args.whitebox_preset
         if args.hybrid_adv:
             cfg.hybrid_adv = True
+        if args.align:
+            cfg.align = True
         if args.no_save_img:
             cfg.save_img = False
         if args.inputs_path:
@@ -155,15 +209,19 @@ def main(argv=None) -> int:
             ("vgg_ckpt", "vgg_ckpt"), ("fusion_weights", "fusion_weights"),
             ("target_image", "target_image"),
             ("adv_inputs_path", "adv_inputs_path"),
+            ("discriminator_ckpt", "discriminator_ckpt"),
         ]:
-            val = getattr(args, cli_key)
-            if val != getattr(defaults, cli_key) and val is not None:
-                setattr(cfg.paths, path_key, val)
+            if cli_key in explicit and getattr(args, cli_key) is not None:
+                setattr(cfg.paths, path_key, getattr(args, cli_key))
         # reflect resolved preset values back into args — ALL later branches
-        # (input loading, target, checkpoints) read args.*, so every path the
+        # (input loading, target, checkpoints) read args.*, so every field the
         # preset can carry must round-trip here, not just dataset/save_dir
         args.dataset = cfg.dataset_name
         args.save_dir = cfg.paths.save_dir
+        args.seed = cfg.seed
+        args.whitebox_preset = cfg.whitebox_preset
+        if cfg.align:
+            args.align = True
         if cfg.image_size is not None:
             args.size = cfg.image_size
         if cfg.paths.images_dir and not args.images_dir:
@@ -172,11 +230,21 @@ def main(argv=None) -> int:
             args.target_image = cfg.paths.target_image
         if cfg.paths.adv_inputs_path and not args.adv_inputs_path:
             args.adv_inputs_path = cfg.paths.adv_inputs_path
+        # fields a preset CAN carry but this driver has no use for — say so
+        # instead of silently no-opping (ADVICE r2)
+        from tpufusion.configs import AttackRunConfig as _ARC
+
+        for fld in ("batch", "n_sample"):
+            if getattr(cfg, fld) != getattr(_ARC(), fld):
+                print(f"[attack_run] note: preset field '{fld}' is not used "
+                      f"by this driver (fusion group size comes from the "
+                      f"dataset; 'n_sample' drives the invert CLI)")
         _run_cfg = cfg
     else:
         _run_cfg = None
     cfg = _run_cfg if _run_cfg is not None else AttackRunConfig(
         dataset_name=args.dataset, attacks=tuple(args.attacks), lr=args.lr,
+        seed=args.seed, align=args.align,
         n_iters=args.n_iters, which_adv=args.which_adv, max_count=args.max_count,
         whitebox_execution="stepwise" if args.whitebox_stepwise else "scan",
         whitebox_preset=args.whitebox_preset,
@@ -200,6 +268,18 @@ def main(argv=None) -> int:
         ),
     )
 
+    # seeding happens AFTER preset resolution so a preset-carried seed is
+    # honoured (ADVICE r2: the pool used to be seeded from args.seed before
+    # the preset loaded, silently no-opping cfg.seed)
+    args.seed = cfg.seed
+    pool = seed_everything(cfg.seed)
+
+    if args.transfer_chain and not cfg.save_img:
+        raise SystemExit(
+            "--transfer_chain persists adversarial crops to disk and reloads "
+            "them via adv_generate — it cannot run with --no_save_img / "
+            "save_img=false (ADVICE r2: this used to be silently ignored)")
+
     dataset_dir = os.path.join(args.save_dir, args.dataset)
     os.makedirs(dataset_dir, exist_ok=True)
 
@@ -209,12 +289,31 @@ def main(argv=None) -> int:
     if args.tiny:
         pipeline = create_test_pipeline(args.dataset, pool.next(), size=args.size or 32)
     else:
+        # model-scale knobs round-trip from the config (ADVICE r2: a preset
+        # setting these used to silently no-op)
         pipeline = FusionPipeline.create(
             args.dataset, pool.next(), size=args.size,
+            channel_multiplier=cfg.channel_multiplier,
+            encoder_base_channels=cfg.encoder_base_channels,
+            encoder_units=tuple(cfg.encoder_units),
         )
     pipeline = _maybe_load_checkpoints(pipeline, cfg.paths)
     print(f"[attack_run] pipeline ready in {time.time() - t0:.1f}s "
           f"(generator {pipeline.image_size}^2)")
+
+    mesh = None
+    if args.mesh:
+        from tpufusion.parallel import create_mesh, shard_generator_params
+
+        spec = _parse_mesh_spec(args.mesh)
+        mesh = create_mesh(jax.devices(), data=spec.get("data"),
+                           model=spec["model"])
+        if mesh.shape["model"] > 1:
+            # TP: shard mapping/affine out-features + conv out-channels
+            pipeline.drawer.gen_vars = shard_generator_params(
+                pipeline.drawer.gen_vars, mesh, generator=pipeline.generator)
+        print(f"[attack_run] mesh {dict(mesh.shape)} over {mesh.size} "
+              f"{jax.devices()[0].platform} device(s)")
 
     n = cfg.n_inputs
 
@@ -330,6 +429,34 @@ def main(argv=None) -> int:
         profile_ctx = trace_profile(args.profile)
         print(f"[attack_run] profiling to {args.profile}")
 
+    # group-parallel fusion attacks: with a mesh and multiple groups, attack
+    # ALL groups in one sharded program up front (the reference's
+    # max_num_fusion loop, `interpolation.py:1265`, parallelised over
+    # 'data'), then evaluate per group below via adv_override
+    adv_overrides = [dict() for _ in input_groups]
+    gp_attacks = [a for a in cfg.attacks if a.startswith("fusion_pgd")]
+    if mesh is not None and mesh.size > 1 and len(input_groups) > 1 and gp_attacks:
+        from tpufusion.attacks.fusion_attack import FusionAttackConfig
+        from tpufusion.attacks.pgd import PGDConfig
+        from tpufusion.parallel import make_sharded_group_fusion_attack
+
+        groups_arr = jnp.stack(input_groups)
+        gp_target = target[None]  # (1, 1, S, S, 3): shared across groups
+        for a in gp_attacks:
+            facfg = FusionAttackConfig(
+                mode="arithmetic" if a.endswith("arith") else "spatial",
+                objective="pixel", targeted=True,
+                pgd=PGDConfig(eps=cfg.pgd_eps * 2.0, alpha=cfg.pgd_alpha * 2.0,
+                              steps=cfg.pgd_steps),
+            )
+            gattack = make_sharded_group_fusion_attack(pipeline, facfg, mesh)
+            adv_all, traces = gattack(groups_arr, gp_target, pool.next())
+            for gi in range(len(input_groups)):
+                adv_overrides[gi][a] = {"batches": [adv_all[gi]],
+                                        "trace": traces[gi]}
+            print(f"[attack_run] {a}: {len(input_groups)} groups attacked "
+                  f"in one sharded program over mesh {dict(mesh.shape)}")
+
     # one run_experiment per fusion group (`interpolation.py:1265` evaluates
     # max_num_fusion independent batches; each gets its own numbered run dir)
     def run_group(gi: int, group) -> None:
@@ -337,6 +464,7 @@ def main(argv=None) -> int:
             pipeline, cfg, group, target, pool.next(),
             save_root=dataset_dir if cfg.save_img else None,
             discriminator=discriminator,
+            mesh=mesh, adv_override=adv_overrides[gi] or None,
         )
         tag = f" [group {gi}]" if len(input_groups) > 1 else ""
         if results.get("realism"):

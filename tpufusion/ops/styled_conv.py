@@ -227,14 +227,19 @@ def styled_conv(x, weight, style, noise, noise_strength, bias,
                 *, use_pallas: bool | None = None):
     """Dispatch between the Pallas kernel and the XLA composite.
 
-    Structural requirements for the kernel: 3x3 weight, even H/W, H >= 16.
+    Structural requirements for the kernel: 3x3 weight, even H/W, H >= 16,
+    and a SHARED noise buffer (leading dim 1 — the kernel tiles one (H, W)
+    noise plane across the batch; per-sample (N, H, W, 1) noise is only
+    handled by the XLA composite's broadcasting, so batched noise falls
+    back even under ``use_pallas=True``).
     With ``use_pallas=None`` the measured default applies — the XLA
     composite, see ``pallas_styled_conv_mode``; an explicit True forces
     the kernel wherever it is structurally possible.
     """
     h, w, cin = x.shape[1], x.shape[2], x.shape[3]
+    shared_noise = noise.ndim <= 2 or noise.shape[0] == 1
     structural = (weight.shape[0] == 3 and h >= 16
-                  and h % 2 == 0 and w % 2 == 0)
+                  and h % 2 == 0 and w % 2 == 0 and shared_noise)
     if use_pallas is None:
         mode = pallas_styled_conv_mode()
         use_pallas = mode == "all" or (mode == "window" and 128 <= cin <= 256)
