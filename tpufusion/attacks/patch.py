@@ -285,14 +285,20 @@ def train_patch(
             if log_fn is not None:
                 log_fn(epoch, i, np.asarray(trace))
 
-    # final canonical placement: centre, no rotation
+    return canonical_canvas(patch, pipeline.image_size, cfg.patch_type)
+
+
+def canonical_canvas(patch: jax.Array, image_size: int, patch_type: str):
+    """Final (canvas, mask) pair from a trained patch: centre placement, no
+    rotation — the layout ``apply_patch`` consumes and ``patch.npz``
+    persists (`adversarial_patch.py:238-239`)."""
     side = patch.shape[0]
-    size = pipeline.image_size
+    size = image_size
     pos = ((size - side) // 2, (size - side) // 2)
     canvas = jax.lax.dynamic_update_slice(
         jnp.zeros((size, size, 3), patch.dtype), patch, (pos[0], pos[1], 0)
     )
-    if cfg.patch_type == "circle":
+    if patch_type == "circle":
         m = jnp.broadcast_to(_circle_mask(side), (side, side, 3))
     else:
         m = jnp.ones((side, side, 3), patch.dtype)

@@ -154,11 +154,18 @@ def dispatch_attack(
     key: jax.Array,
     train_images=None,
     run_dir: Optional[str] = None,
+    mesh=None,
 ) -> List[jax.Array]:
     """``main_optimize`` equivalent: returns a LIST of adversarial batches
     (out_domain_single yields one batch per substituted index,
-    `attack_main2.py:390-395`)."""
+    `attack_main2.py:390-395`).
+
+    With a multi-device ``mesh`` (``--mesh`` on the CLI), the two heavy
+    optimisation attacks route through their data-parallel forms:
+    ``white_box_*`` via ``run_whitebox_sharded`` and ``patch_white_box``
+    training via ``train_patch_sharded`` (SURVEY §2 P1)."""
     size = pipeline.image_size
+    use_mesh = mesh is not None and mesh.size > 1
 
     if attack == "dp_noise":
         return [dp_noise(inputs, key, cfg.scale)]
@@ -210,8 +217,15 @@ def dispatch_attack(
                 def _plog(epoch, i, trace):
                     plog.append((epoch, i, trace))
 
-            canvas, mask = train_patch(pipeline, imgs, key, pcfg, target_img,
-                                       log_fn=_plog)
+            if use_mesh:
+                from tpufusion.parallel import train_patch_sharded
+
+                canvas, mask = train_patch_sharded(
+                    pipeline, imgs, key, pcfg, mesh, target_img,
+                    log_fn=_plog)
+            else:
+                canvas, mask = train_patch(pipeline, imgs, key, pcfg,
+                                           target_img, log_fn=_plog)
             if run_dir and plog:
                 plog = [
                     f"epoch {e} img {i} count {c} loss:{float(v):.5f}"
@@ -240,8 +254,15 @@ def dispatch_attack(
             target = paste_patch(inputs, target_img, cfg.paste_times)
         else:
             target = target_img
-        adv, tr = run_whitebox(pipeline, inputs, target, wcfg, cfg.which_adv)
-        write_loss_log(run_dir, attack, tr, kind="per_image_iter")
+        if use_mesh:
+            from tpufusion.parallel import run_whitebox_sharded
+
+            adv, tr = run_whitebox_sharded(pipeline, inputs, target, wcfg,
+                                           cfg.which_adv, mesh)
+            write_loss_log(run_dir, attack, tr)  # batch-summed per step
+        else:
+            adv, tr = run_whitebox(pipeline, inputs, target, wcfg, cfg.which_adv)
+            write_loss_log(run_dir, attack, tr, kind="per_image_iter")
         return [adv]
 
     if attack in ("pgd", "fgsm"):
@@ -357,9 +378,18 @@ def run_experiment(
     key: jax.Array,
     save_root: Optional[str] = None,
     discriminator=None,
+    mesh=None,
+    adv_override: Optional[dict] = None,
 ) -> dict:
     """One full attack evaluation on one fusion batch: benign fusion (both
     modes), attack, partial fusion (both modes), metric table, artifacts.
+
+    ``mesh`` routes the heavy attacks through their sharded forms (see
+    ``dispatch_attack``).  ``adv_override`` maps an attack name to
+    ``{"batches": [adv, ...], "trace": loss_trace|None}`` — precomputed
+    adversarial inputs (e.g. from the group-parallel fusion attack, where
+    all groups are attacked in ONE sharded program before per-group
+    evaluation) that replace that attack's dispatch.
 
     Returns a dict of results (and writes images/artifacts when
     ``save_root``).
@@ -426,9 +456,14 @@ def run_experiment(
             store.append("all_inner_feature", feats)
 
         key, k = jax.random.split(key)
-        adv_batches = dispatch_attack(
-            pipeline, attack, inputs, target_img, cfg, k, run_dir=run_dir
-        )
+        if adv_override and attack in adv_override:
+            adv_batches = [jnp.asarray(b) for b in adv_override[attack]["batches"]]
+            write_loss_log(run_dir, attack, adv_override[attack].get("trace"))
+        else:
+            adv_batches = dispatch_attack(
+                pipeline, attack, inputs, target_img, cfg, k, run_dir=run_dir,
+                mesh=mesh,
+            )
 
         table = ResultsTable(n)
         attack_results = []
