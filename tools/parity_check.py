@@ -70,6 +70,25 @@ def check_mode(pipeline, images_dir: str, mode: str, out_dir: str | None,
     fusion_mode = MODES[mode]
     rows = []
 
+    # spatial parity honesty: the reference's SFHierarchy fusion-net
+    # architecture is unvendored, so spatial rows are an approximation
+    # UNLESS a manifest was loaded — and even torch-ingested nets stay
+    # approximate (opaque-MLP convention inference, fusion_hierarchy.py)
+    blender_note = {}
+    if fusion_mode == "spatial":
+        rep = getattr(pipeline.drawer.blender, "load_report", None)
+        blender_note = dict(
+            approx_blender=True,
+            blender_weights=("none (random init)" if rep is None else
+                            rep["path"]),
+        )
+        if rep is not None and not rep.get("approx"):
+            # our own exact-format npz weights: still a reconstruction of
+            # the unvendored architecture, but deterministically loaded
+            blender_note["blender_format"] = "npz (FusionNet reconstruction)"
+        elif rep is not None:
+            blender_note["blender_format"] = "torch (opaque-MLP ingestion)"
+
     inputs_path = os.path.join(images_dir, f"{mode}_org_inputs_0.jpg")
     if not os.path.exists(inputs_path):
         return [dict(mode=mode, target="org_inputs", status="missing",
@@ -97,7 +116,7 @@ def check_mode(pipeline, images_dir: str, mode: str, out_dir: str | None,
         rows.append(dict(
             mode=mode, target=name, status="ok" if err <= tolerance else "FAIL",
             mae=round(err, 5), psnr=round(psnr(np.clip(ours_arr, -1, 1), ref), 2),
-            tolerance=tolerance,
+            tolerance=tolerance, **blender_note,
         ))
         if out_dir:
             dst = os.path.join(out_dir, f"{mode}_{name}_ours.jpg")
@@ -218,6 +237,12 @@ def run(argv=None) -> int:
         if not (args.stylegan_ckpt and args.e4e_ckpt):
             print("[parity] WARNING: no real checkpoints given — models are "
                   "random-init; comparisons measure plumbing, not parity")
+        if "spatial" in args.modes and not args.fusion_weights:
+            print("[parity] WARNING: no --fusion_weights manifest — spatial "
+                  "fusion runs with RANDOM blenders; spatial rows carry "
+                  "approx_blender=true and cannot claim reference parity "
+                  "(the SFHierarchy fusion-net architecture is unvendored; "
+                  "see fusion_hierarchy.py)")
         images_dir, tolerance, out_dir = args.images, args.tolerance, args.out
 
     all_rows = []

@@ -168,6 +168,9 @@ class HierarchyBlender:
         self.policy = policy or default_policy()
         self.net = FusionNet(self.style_dims, hidden=hidden, policy=self.policy)
         self.internal_nodes = [n for n, node in self.tree.items() if node.children]
+        # set by load_fusion_nets: provenance + match quality of the loaded
+        # weights (None until a manifest is loaded -> random-init blenders)
+        self.load_report: Optional[dict] = None
 
     # -- params ------------------------------------------------------------
     def init_params(self, key: jax.Array) -> dict:
@@ -178,19 +181,88 @@ class HierarchyBlender:
         return params
 
     def load_fusion_nets(self, manifest_path: str) -> dict:
-        """JSON manifest {node_name: npz_path} -> params dict (reference
+        """JSON manifest {node_name: weight_path} -> params dict (reference
         ``load_fusion_net`` per node, `style_fusion_simple.py:72-80`).
-        Relative npz paths resolve against the manifest's directory."""
+        Relative paths resolve against the manifest's directory.
+
+        Two weight formats:
+        - ``.npz`` — this framework's own FusionNet save format (exact);
+        - ``.pt``/``.pth`` — the REFERENCE's torch fusion-net checkpoints.
+          The external ``SFHierarchy*`` architecture is not vendored
+          anywhere the reference can see, so the torch linear stack is
+          ingested as an OPAQUE per-style-layer MLP (see
+          ``_ingest_torch_fusion_net``) and a loud approximation warning is
+          emitted; ``self.load_report`` records per-node match quality so
+          callers (tools/parity_check.py) cannot silently overclaim spatial
+          parity.
+        """
         with open(manifest_path) as f:
             manifest = json.load(f)
         root = os.path.dirname(os.path.abspath(manifest_path))
         params = {}
+        report = dict(path=manifest_path, nodes={}, approx=False)
         for name, rel in manifest.items():
             path = rel if os.path.isabs(rel) else os.path.join(root, rel)
-            with np.load(path) as data:
-                flat = {k: jnp.asarray(v) for k, v in data.items()}
-            params[name] = _unflatten(flat)
+            if path.endswith((".pt", ".pth")):
+                params[name], node_rep = self._ingest_torch_fusion_net(path)
+                report["nodes"][name] = node_rep
+                report["approx"] = True
+            else:
+                with np.load(path) as data:
+                    flat = {k: jnp.asarray(v) for k, v in data.items()}
+                params[name] = _unflatten(flat)
+                report["nodes"][name] = dict(format="npz", exact=True)
+        if report["approx"]:
+            served = {n: r.get("layers_served") for n, r in
+                      report["nodes"].items() if r.get("format") == "torch"}
+            print("[fusion_hierarchy] WARNING: torch fusion-net checkpoints "
+                  "ingested as opaque MLPs — the reference's SFHierarchy "
+                  "architecture is not vendored, so gating conventions are "
+                  "inferred from tensor shapes (approximation). Style layers "
+                  f"served per node: {served}")
+        self.load_report = report
         return params
+
+    def _ingest_torch_fusion_net(self, path: str):
+        """Best-effort ingestion of a reference torch fusion-net state dict.
+
+        Extracts the ordered linear stack (2-D ``*.weight`` + ``*.bias``
+        pairs; torch state dicts preserve module order) into an opaque MLP
+        bundle ``{"__torch_mlp__": [{"kernel", "bias"}, ...]}``.  At blend
+        time the MLP is applied per style layer wherever its input width
+        matches ``3*dim`` (left;right;base), ``2*dim`` (left;right) or
+        ``dim`` (base), its output interpreted as gate logits when it is
+        ``dim``-wide; non-matching layers fall back to the even blend and
+        are counted in the report."""
+        from tpufusion.io import load_torch_state_dict
+
+        state = load_torch_state_dict(path)
+        layers = []
+        for k, v in state.items():
+            if not k.endswith(".weight"):
+                continue
+            w = np.asarray(v)
+            if w.ndim != 2:
+                continue
+            bkey = k[: -len(".weight")] + ".bias"
+            b = np.asarray(state[bkey]) if bkey in state else np.zeros(
+                w.shape[0], w.dtype)
+            # torch Linear stores (out, in); our kernels are (in, out)
+            layers.append(dict(kernel=jnp.asarray(w.T), bias=jnp.asarray(b)))
+        if not layers:
+            raise ValueError(
+                f"{path}: no linear layers found in the torch state dict "
+                f"(keys: {sorted(state)[:8]}...) — cannot ingest as a "
+                "fusion net")
+        fin = int(layers[0]["kernel"].shape[0])
+        fout = int(layers[-1]["kernel"].shape[1])
+        served = [d for d in set(self.style_dims)
+                  if fin in (d, 2 * d, 3 * d) and fout == d]
+        n_served = sum(1 for d in self.style_dims if d in served)
+        rep = dict(format="torch", n_linear=len(layers), in_features=fin,
+                   out_features=fout,
+                   layers_served=f"{n_served}/{len(self.style_dims)}")
+        return {"__torch_mlp__": layers}, rep
 
     def save_fusion_nets(self, params: dict, out_dir: str, manifest_name: str) -> str:
         os.makedirs(out_dir, exist_ok=True)
@@ -223,9 +295,41 @@ class HierarchyBlender:
             left = walk(node.children[0])
             right = walk(node.children[1])
             base = s_dict[name]
-            return self.net.apply(params[name], left, right, base)
+            p = params[name]
+            if isinstance(p, dict) and "__torch_mlp__" in p:
+                return self._apply_torch_mlp(p["__torch_mlp__"], left, right, base)
+            return self.net.apply(p, left, right, base)
 
         return walk(root)
+
+    def _apply_torch_mlp(self, layers, left, right, base):
+        """Apply an ingested reference torch fusion net (opaque linear stack,
+        see ``_ingest_torch_fusion_net``) per style layer.  Input/gating
+        conventions are inferred from widths; style layers the net cannot
+        serve fall back to the even blend."""
+        fin = int(layers[0]["kernel"].shape[0])
+        fout = int(layers[-1]["kernel"].shape[1])
+        out = []
+        for i, d in enumerate(self.style_dims):
+            a, b_, c = left[i], right[i], base[i]
+            af, bf, cf = (x.astype(jnp.float32) for x in (a, b_, c))
+            if fout != d or fin not in (d, 2 * d, 3 * d):
+                out.append((0.5 * (af + bf)).astype(a.dtype))
+                continue
+            if fin == 3 * d:
+                x = jnp.concatenate([af, bf, cf], axis=-1)
+            elif fin == 2 * d:
+                x = jnp.concatenate([af, bf], axis=-1)
+            else:
+                x = cf
+            for j, lay in enumerate(layers):
+                x = x @ lay["kernel"].astype(jnp.float32) + lay["bias"].astype(
+                    jnp.float32)
+                if j < len(layers) - 1:
+                    x = jax.nn.leaky_relu(x, 0.2)
+            g = jax.nn.sigmoid(x)
+            out.append((g * af + (1.0 - g) * bf).astype(a.dtype))
+        return tuple(out)
 
 
 def _flatten(tree, prefix=""):
