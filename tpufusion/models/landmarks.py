@@ -229,6 +229,40 @@ def dlib_landmark_provider(predictor_path: str) -> Callable:
     return landmarks_fn
 
 
+def evaluate_landmark_net(net: LandmarkNet, variables, *, n: int = 64,
+                          size: int = 128, seed: int = 12345) -> dict:
+    """Quantify the provider on HELD-OUT synthetic faces (VERDICT r2 weak #4).
+
+    Reports, normalised to the reference's 256^2 alignment frame:
+    - ``mean_landmark_err_px_at_256``: mean Euclidean landmark error;
+    - ``mean_quad_drift_px_at_256``: mean corner distance between the FFHQ
+      alignment quad (``data.alignment.alignment_quad``) computed from the
+      predicted vs ground-truth landmarks — the error that actually reaches
+      ``align_face`` (`utils/alignment.py:29-115` geometry);
+    - ``quad_drift_frac_of_qsize``: that drift relative to the crop size
+      (scale-free alignment fidelity).
+    """
+    from tpufusion.data.alignment import alignment_quad
+
+    rng = np.random.RandomState(seed)
+    imgs, gt = synth_face_batch(rng, n, size)
+    pred = np.asarray(jax.jit(net.apply)(variables, jnp.asarray(imgs)))
+    err = float(np.linalg.norm(pred - gt, axis=-1).mean())  # [0,1] units
+    drifts, fracs = [], []
+    for i in range(n):
+        q_gt, qsize = alignment_quad(gt[i] * size)
+        q_pr, _ = alignment_quad(pred[i] * size)
+        d = float(np.linalg.norm(q_gt - q_pr, axis=-1).mean())
+        drifts.append(d / size)
+        fracs.append(d / max(qsize, 1e-6))
+    return dict(
+        n=n, eval_size=size,
+        mean_landmark_err_px_at_256=round(err * 256, 2),
+        mean_quad_drift_px_at_256=round(float(np.mean(drifts)) * 256, 2),
+        quad_drift_frac_of_qsize=round(float(np.mean(fracs)), 4),
+    )
+
+
 def save_landmark_net(variables, path: str) -> str:
     from tpufusion.io.params_io import save_pytree
 
