@@ -1,27 +1,33 @@
-"""Headline benchmark: PGD attack steps/sec, batch-8, 1024^2 fusion inputs.
+"""Headline benchmark + hot-program submetrics.
 
 BASELINE.json north star: ">= 100 PGD steps/sec on batch-8 1024^2 fusion on
 one v5e chip".  One PGD step (reference semantics, `interpolation.py:74-94`
 inline copy + torchattacks recipe `:1331-1365`): forward the attacked model
 on the 1024^2 adversarial batch, backward to the pixels, fused
-grad-sign + eps-projection + clamp update.  The attacked model here is the
-fusion pipeline's encoder (the e4e latent-drift objective the framework's
-``pgd`` attack uses — `tpufusion/runner.py`), with the reference's
+grad-sign + eps-projection + clamp update.  The attacked model is the
+reference's transfer surrogate — a resnet18 gender-shaped classifier
+(`interpolation.py:1299,1343`) — briefly TRAINED here on a synthetic
+brightness task so the printed "N/N flipped" attack-success is against a
+classifier that actually classifies (VERDICT r2 weak #3), with the
 avg-pool-to-256 preprocessing inside the differentiated graph.
 
 The whole ``steps`` loop is ONE ``lax.scan`` in ONE jit — a single device
 dispatch — so the number is pure device throughput.
 
-Also logs (stderr) the heavier white-box step throughput (encoder + 1024^2
-decoder + VGG backward per step, SURVEY §3.3) when BENCH_WHITEBOX=1.
-
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "steps/sec", "vs_baseline": N}
-``vs_baseline`` = value / 100 (north-star target; the reference publishes no
-numbers — its README is a 2-line abstract).
+Prints ONE JSON line; the headline fields are the driver contract and
+``submetrics`` carries every other hot-program number so round-over-round
+regressions are visible in BENCH_r{N}.json (VERDICT r2 weak #2):
+- ``encoder_drift_pgd_steps_per_sec`` — full e4e-50 backward per step
+- ``whitebox_steps_per_sec`` — enc + 1024^2 synthesis + VGG fwd/bwd + Adam
+  (SURVEY §3.3, the reference's hottest loop)
+- ``partial_fusion_sweep_ms`` — the (N+1)-variant spatial partial-fusion
+  evaluation as one batched synthesis (`interpolation.py:978-1031`)
+- ``patch_train_steps_per_sec`` — adversarial-patch inner iterations
+  (`adversarial_patch.py:94-160`, the reference's costliest job)
 
 Env knobs: BENCH_SIZE (1024), BENCH_BATCH (8), BENCH_STEPS (100),
-BENCH_CALLS (3), BENCH_TINY=1 (CPU smoke), BENCH_WHITEBOX=1 (extra metric).
+BENCH_CALLS (3), BENCH_TINY=1 (CPU smoke), BENCH_SUBMETRICS=0 (headline
+only).
 """
 
 from __future__ import annotations
@@ -36,18 +42,76 @@ def log(msg: str) -> None:
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
+def train_synthetic_classifier(clf, clf_vars, clf_size, seed=7, steps=20):
+    """A few Adam steps on a separable synthetic task (bright vs dark) so the
+    benchmarked attack flips a classifier that genuinely classifies.
+
+    Batches are generated with numpy on the host (eager per-op dispatch over
+    the TPU tunnel is seconds per op) and the whole train loop is ONE scanned
+    jit.  Returns (trained_vars, heldout_accuracy)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    rng = np.random.RandomState(seed)
+
+    def batch(n):
+        x = rng.uniform(-0.5, 0.5, (n, clf_size, clf_size, 3)).astype(np.float32)
+        y = rng.randint(0, 2, n).astype(np.int32)
+        # class 1 brightened, class 0 darkened: linearly separable on mean
+        x = np.clip(x + (y[:, None, None, None] * 2 - 1) * 0.4, -1, 1)
+        return x, y
+
+    xs, ys = zip(*(batch(16) for _ in range(steps)))
+    xs, ys = jnp.asarray(np.stack(xs)), jnp.asarray(np.stack(ys))
+    opt = optax.adam(1e-3)
+
+    @jax.jit
+    def train(vars_, xs, ys):
+        def step(carry, xy):
+            v, opt_state = carry
+            x, y = xy
+
+            def loss_fn(v_):
+                logits = clf.apply(v_, x)
+                return jnp.mean(
+                    optax.softmax_cross_entropy_with_integer_labels(
+                        logits.astype(jnp.float32), y))
+
+            loss, g = jax.value_and_grad(loss_fn)(v)
+            updates, opt_state = opt.update(g, opt_state, v)
+            return (optax.apply_updates(v, updates), opt_state), loss
+
+        (v, _), trace = jax.lax.scan(step, (vars_, opt.init(vars_)), (xs, ys))
+        return v, trace
+
+    clf_vars, _ = train(clf_vars, xs, ys)
+    xh, yh = batch(32)
+    acc = float(jnp.mean((jnp.argmax(jax.jit(clf.apply)(
+        clf_vars, jnp.asarray(xh)), -1) == jnp.asarray(yh)).astype(jnp.float32)))
+    return clf_vars, acc
+
+
 def main() -> int:
     tiny = os.environ.get("BENCH_TINY", "0") == "1"
     size = int(os.environ.get("BENCH_SIZE", "32" if tiny else "1024"))
     batch = int(os.environ.get("BENCH_BATCH", "2" if tiny else "8"))
     steps = int(os.environ.get("BENCH_STEPS", "5" if tiny else "100"))
     calls = int(os.environ.get("BENCH_CALLS", "1" if tiny else "3"))
+    submetrics_on = os.environ.get("BENCH_SUBMETRICS", "1") == "1"
 
     import jax
 
+    if tiny:
+        # CPU smoke: matches the test-suite backend (the tunnel TPU pays
+        # 20-40 s compile per program — too slow for a smoke run)
+        jax.config.update("jax_platforms", "cpu")
+
     cache_dir = os.environ.get(
         "JAX_CACHE_DIR",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache_tpu"),
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "tests/.jax_cache" if tiny else ".jax_cache_tpu"),
     )
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -58,6 +122,8 @@ def main() -> int:
     from tpufusion.attacks.pgd import PGDConfig, make_pgd
     from tpufusion.core.imaging import avg_pool
     from tpufusion.pipeline import FusionPipeline, create_test_pipeline
+
+    submetrics: dict = {}
 
     log(f"backend={jax.default_backend()} size={size} batch={batch} "
         f"steps={steps} calls={calls}")
@@ -80,9 +146,9 @@ def main() -> int:
     )
 
     # ---- primary: the reference's PGD recipe (`interpolation.py:1343`) —
-    # classifier-gradient PGD against the resnet18 gender model, on full
-    # 1024^2 fusion inputs (resized to the classifier's 256^2 inside the
-    # differentiated graph, as the reference's transforms do).
+    # classifier-gradient PGD against the resnet18 gender-model shape, on
+    # full 1024^2 fusion inputs (resized to the classifier's 256^2 inside
+    # the differentiated graph, as the reference's transforms do).
     from tpufusion.models.resnet import create_resnet18
 
     clf_size = min(size, 256)
@@ -91,9 +157,16 @@ def main() -> int:
         jax.random.key(5), num_classes=2,
         image_size=clf_size, policy=pipeline.policy,
     )
-    labels = jax.jit(
-        lambda v, x: jnp.argmax(clf.apply(v, avg_pool(x, clf_factor)), -1)
-    )(clf_vars, imgs)
+    t0 = time.time()
+    clf_vars, train_acc = train_synthetic_classifier(clf, clf_vars, clf_size)
+    log(f"classifier trained on synthetic brightness task in "
+        f"{time.time() - t0:.1f}s (held-out acc {train_acc:.2f}) — attack "
+        f"success below is against these trained weights")
+    submetrics["classifier_heldout_acc"] = round(train_acc, 4)
+
+    predict = jax.jit(
+        lambda v, x: jnp.argmax(clf.apply(v, avg_pool(x, clf_factor)), -1))
+    labels = predict(clf_vars, imgs)
 
     # params + labels as loss args (closure-captured params would embed
     # the model as constants into the compile request)
@@ -122,14 +195,38 @@ def main() -> int:
     ce = float(trace[-1])  # hard device fetch: forces all queued calls
     dt = time.time() - t0
     steps_per_sec = steps * calls / dt
-    flipped = int(jnp.sum(
-        jnp.argmax(clf.apply(clf_vars, avg_pool(adv, clf_factor)), -1) != labels
-    ))
+    flipped = int(jnp.sum(predict(clf_vars, adv) != labels))
     log(f"pgd: {calls}x{steps} steps in {dt:.2f}s "
-        f"(final CE {ce:.4f}, {flipped}/{batch} flipped)")
+        f"(final CE {ce:.4f}, {flipped}/{batch} flipped vs TRAINED classifier)")
+    submetrics["classifier_pgd_steps_per_sec"] = round(steps_per_sec, 3)
+    submetrics["classifier_pgd_flipped"] = f"{flipped}/{batch}"
 
-    # ---- secondary: encoder-latent-drift PGD (the framework's own 'pgd'
-    # attack objective) — the full e4e-50 backward per step.
+    if submetrics_on:
+        run_submetrics(pipeline, imgs, enc, factor, size, steps, submetrics)
+
+    print(json.dumps({
+        "metric": f"PGD attack steps/sec, batch-{batch}, {size}^2 fusion inputs",
+        "value": round(steps_per_sec, 3),
+        "unit": "steps/sec",
+        "vs_baseline": round(steps_per_sec / 100.0, 3),
+        "submetrics": submetrics,
+    }))
+    return 0
+
+
+def run_submetrics(pipeline, imgs, enc, factor, size, steps, out: dict) -> None:
+    """The non-headline hot programs, every run (VERDICT r2 weak #2)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpufusion.attacks.pgd import PGDConfig, make_pgd
+
+    batch = imgs.shape[0]
+
+    # ---- encoder-latent-drift PGD (the framework's own 'pgd' attack
+    # objective) — the full e4e-50 backward per step.
+    from tpufusion.core.imaging import avg_pool
+
     latent_org = jax.jit(lambda p, x: enc(p, avg_pool(x, factor)))(
         pipeline.enc_vars, imgs
     )
@@ -151,42 +248,97 @@ def main() -> int:
     ddt = time.time() - t0
     log(f"encoder-drift pgd: {drift_steps} steps in {ddt:.2f}s -> "
         f"{drift_steps / ddt:.2f} steps/sec (full e4e-50 backward)")
+    out["encoder_drift_pgd_steps_per_sec"] = round(drift_steps / ddt, 3)
 
-    if os.environ.get("BENCH_WHITEBOX", "0") == "1":
-        # stepwise executor: the scanned whole-loop program trips this
-        # deployment's AOT compile helper; one-step programs compile in ~25 s
-        from tpufusion.attacks.whitebox import (
-            PRESET_ATTACK_MAIN, WhiteboxConfig, make_whitebox_stepper,
-        )
+    # ---- white-box attack step (SURVEY §3.3: encoder x2 + full synthesis +
+    # VGG fwd + backward through all of them + Adam).  Stepwise executor:
+    # the scanned whole-loop program trips this deployment's AOT compile
+    # helper; one-step programs compile in ~25 s.
+    from tpufusion.attacks.whitebox import (
+        PRESET_ATTACK_MAIN, WhiteboxConfig, make_whitebox_stepper,
+    )
 
-        wcfg = WhiteboxConfig(lr=1e-3, n_iters=1, weights=PRESET_ATTACK_MAIN)
-        winit, wstep = make_whitebox_stepper(pipeline, wcfg)
-        targets = jnp.broadcast_to(
-            jax.random.uniform(jax.random.key(4), (1, size, size, 3),
-                               jnp.float32, -1, 1),
-            imgs.shape,
-        )
-        t0 = time.time()
-        state = winit(imgs, targets)
+    wcfg = WhiteboxConfig(lr=1e-3, n_iters=1, weights=PRESET_ATTACK_MAIN)
+    winit, wstep = make_whitebox_stepper(pipeline, wcfg)
+    targets = jnp.broadcast_to(
+        jax.random.uniform(jax.random.key(4), (1, size, size, 3),
+                           jnp.float32, -1, 1),
+        imgs.shape,
+    )
+    t0 = time.time()
+    state = winit(imgs, targets)
+    state, terms = wstep(state)
+    _ = float(terms["total"])
+    log(f"whitebox compile+warmup in {time.time() - t0:.1f}s")
+    n_wsteps = max(steps // 10, 1)
+    t0 = time.time()
+    for _ in range(n_wsteps):
         state, terms = wstep(state)
-        _ = float(terms["total"])
-        log(f"whitebox compile+warmup in {time.time() - t0:.1f}s")
-        n_wsteps = max(steps // 4, 1)
-        t0 = time.time()
-        for _ in range(n_wsteps):
-            state, terms = wstep(state)
-        _ = float(terms["total"])
-        wdt = time.time() - t0
-        log(f"whitebox: {n_wsteps} steps in {wdt:.2f}s -> "
-            f"{n_wsteps / wdt:.2f} steps/sec (enc+dec+vgg backward)")
+    _ = float(terms["total"])
+    wdt = time.time() - t0
+    log(f"whitebox: {n_wsteps} steps in {wdt:.2f}s -> "
+        f"{n_wsteps / wdt:.2f} steps/sec (enc+dec+vgg backward)")
+    out["whitebox_steps_per_sec"] = round(n_wsteps / wdt, 3)
+    out["whitebox_ms_per_step"] = round(1000 * wdt / n_wsteps, 2)
 
-    print(json.dumps({
-        "metric": f"PGD attack steps/sec, batch-{batch}, {size}^2 fusion inputs",
-        "value": round(steps_per_sec, 3),
-        "unit": "steps/sec",
-        "vs_baseline": round(steps_per_sec / 100.0, 3),
-    }))
-    return 0
+    # ---- partial-fusion sweep: N+1 spatial variants as ONE batched
+    # synthesis (`interpolation.py:978-1031`; eval/partial.py)
+    from tpufusion.eval import partial_adv_fusion
+    from tpufusion.fusion import n_inputs
+
+    n = n_inputs(pipeline.dataset)
+    reps = -(-n // batch)  # wrap the bench batch up to the fusion group size
+    imgs_n = jnp.concatenate([imgs] * reps, axis=0)[:n]
+    latents = jax.jit(lambda p, x: enc(p, avg_pool(x, factor)))(
+        pipeline.enc_vars, imgs_n)
+    latents = latents + pipeline.latent_avg
+    adv_latents = latents + 0.01
+
+    def sweep():
+        return partial_adv_fusion(pipeline.drawer, latents, adv_latents,
+                                  "spatial")
+
+    r = sweep()
+    _ = float(jnp.sum(r[-1]))  # warm/compile
+    t0 = time.time()
+    n_sweeps = 5
+    for _ in range(n_sweeps):
+        r = sweep()
+    _ = float(jnp.sum(r[-1]))
+    sdt = (time.time() - t0) / n_sweeps
+    log(f"partial-fusion sweep ({n + 1} variants, spatial): {sdt * 1000:.1f} ms")
+    out["partial_fusion_sweep_ms"] = round(sdt * 1000, 2)
+
+    # ---- patch-training inner iterations (`adversarial_patch.py:94-160`;
+    # max_count=50 x train_size=2000 images is the reference's costliest
+    # job).  One measured unit = one inner iteration: encoder fwd + bwd to
+    # the pasted canvas + raw GD patch update.
+    from tpufusion.attacks.patch import (
+        PatchConfig, init_patch_square, make_patch_attack_step,
+    )
+
+    max_count = max(steps // 10, 2)
+    pcfg = PatchConfig(patch_frac=0.1, max_count=max_count)
+    pstep = make_patch_attack_step(pipeline, pcfg)
+    patch = init_patch_square(size, 0.1, jax.random.key(8))
+    img1 = imgs[:1]
+    t0 = time.time()
+    new_patch, ptrace = pstep(img1, patch, jax.random.key(9))
+    _ = float(ptrace[-1])
+    log(f"patch-train compile+warmup ({max_count} iters) in "
+        f"{time.time() - t0:.1f}s")
+    t0 = time.time()
+    p_calls = 3
+    for c in range(p_calls):
+        new_patch, ptrace = pstep(img1, new_patch, jax.random.fold_in(
+            jax.random.key(10), c))
+    _ = float(ptrace[-1])
+    pdt = time.time() - t0
+    p_rate = max_count * p_calls / pdt
+    log(f"patch-train: {p_calls}x{max_count} inner iters in {pdt:.2f}s -> "
+        f"{p_rate:.2f} iters/sec (reference budget: 50 x 2000 imgs = 1e5 "
+        f"iters -> {1e5 / p_rate / 60:.1f} min/epoch here)")
+    out["patch_train_iters_per_sec"] = round(p_rate, 3)
 
 
 if __name__ == "__main__":

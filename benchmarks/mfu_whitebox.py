@@ -7,9 +7,13 @@ it: achieved FLOP/s vs the chip's peak (v5e bf16 ~197 TFLOP/s), from XLA's
 own cost analysis of the compiled step and steady-state wall time.
 
 Run on the TPU:  python benchmarks/mfu_whitebox.py
-Env: MFU_SIZE (1024), MFU_BATCH (8), MFU_ITERS (10), MFU_REMAT (0).
+Env: MFU_SIZE (1024), MFU_BATCH (8), MFU_ITERS (10), MFU_REMAT (0),
+MFU_BREAKDOWN (1: per-buffer HBM-traffic table from the optimized HLO —
+see benchmarks/hbm_breakdown.py), MFU_DUMP_HLO (path: save the optimized
+HLO text for offline analysis).
 
-Output: one JSON line with sec/step, flops/step, achieved TFLOP/s, MFU.
+Output: one JSON line with sec/step, flops/step, achieved TFLOP/s, MFU,
+and the top per-shape traffic buckets.
 """
 
 from __future__ import annotations
@@ -43,6 +47,8 @@ def main() -> int:
     batch = int(os.environ.get("MFU_BATCH", "8"))
     iters = int(os.environ.get("MFU_ITERS", "10"))
     remat = os.environ.get("MFU_REMAT", "0") == "1"
+    # selective remat: checkpoint only blocks with output res >= this
+    remat_min_res = int(os.environ.get("MFU_REMAT_MIN_RES", "0")) or None
 
     from tpufusion.attacks.whitebox import (
         PRESET_ATTACK_MAIN,
@@ -55,8 +61,23 @@ def main() -> int:
           file=sys.stderr, flush=True)
     t0 = time.time()
     pipeline = FusionPipeline.create("ffhq", jax.random.key(0), size=size,
-                                     remat=remat, mean_latent_samples=64)
+                                     remat=remat, remat_min_res=remat_min_res,
+                                     mean_latent_samples=64)
     print(f"[mfu] pipeline in {time.time()-t0:.1f}s", file=sys.stderr, flush=True)
+
+    if os.environ.get("MFU_BF16_PARAMS", "0") == "1":
+        # params are step-invariant: pre-cast to bf16 ONCE so the step stops
+        # paying the fp32 read + cast + bf16 write for every weight each
+        # iteration (the breakdown shows ~6 GB/step of weight copy traffic)
+        def cast(t):
+            return jax.tree.map(
+                lambda a: a.astype(jnp.bfloat16)
+                if hasattr(a, "dtype") and a.dtype == jnp.float32 else a, t)
+
+        pipeline.enc_vars = cast(pipeline.enc_vars)
+        pipeline.drawer.gen_vars = cast(pipeline.drawer.gen_vars)
+        pipeline.vgg_vars = cast(pipeline.vgg_vars)
+        print("[mfu] params pre-cast to bf16", file=sys.stderr, flush=True)
 
     cfg = WhiteboxConfig(lr=1e-3, n_iters=1, weights=PRESET_ATTACK_MAIN)
     init, step = make_whitebox_stepper(pipeline, cfg)
@@ -78,6 +99,7 @@ def main() -> int:
     from tpufusion.attacks.whitebox import _model_params
 
     params = _model_params(pipeline)
+    breakdown = None
     try:
         compiled = step.jitted.lower(params, state).compile()
         ca = compiled.cost_analysis()
@@ -85,6 +107,20 @@ def main() -> int:
             ca = ca[0]
         flops = float(ca.get("flops", 0.0))
         bytes_accessed = float(ca.get("bytes accessed", 0.0))
+        if os.environ.get("MFU_BREAKDOWN", "1") == "1":
+            from benchmarks.hbm_breakdown import (
+                format_breakdown, hbm_traffic_breakdown,
+            )
+
+            text = compiled.as_text()
+            dump = os.environ.get("MFU_DUMP_HLO")
+            if dump:
+                with open(dump, "w") as f:
+                    f.write(text)
+                print(f"[mfu] optimized HLO -> {dump}", file=sys.stderr)
+            breakdown = hbm_traffic_breakdown(text, top=20)
+            print(format_breakdown(breakdown, top=15), file=sys.stderr,
+                  flush=True)
     except Exception as e:
         print(f"[mfu] cost_analysis unavailable: {e}", file=sys.stderr)
         flops = 0.0
@@ -125,6 +161,8 @@ def main() -> int:
         "roofline_util": round(t_roofline / sec_per_step, 4)
         if t_roofline else None,
         "remat": remat,
+        "remat_min_res": remat_min_res,
+        "hbm_breakdown": breakdown,
     }
     print(json.dumps(result))
     return 0

@@ -89,6 +89,7 @@ class FusionDrawer:
         channel_multiplier: int = 2,
         policy: Optional[Policy] = None,
         remat: bool = False,
+        remat_min_res: Optional[int] = None,
         mean_latent_samples: int = 4096,
         generator: Optional[Generator] = None,
         gen_vars=None,
@@ -105,7 +106,8 @@ class FusionDrawer:
         kg, km, kb = jax.random.split(key, 3)
         if generator is None:
             generator, gen_vars = create_generator(
-                size, kg, channel_multiplier=channel_multiplier, policy=policy, remat=remat
+                size, kg, channel_multiplier=channel_multiplier, policy=policy,
+                remat=remat, remat_min_res=remat_min_res,
             )
         mean_latent = jax.jit(
             lambda v, k: generator.apply(v, mean_latent_samples, k, method=Generator.mean_latent)

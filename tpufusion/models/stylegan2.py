@@ -130,6 +130,11 @@ class Generator(nn.Module):
     channel_multiplier: int = 2
     blur_taps: Sequence[int] = (1, 3, 3, 1)
     remat: bool = False  # checkpoint each block's convs (for deep backprop)
+    # selective remat: checkpoint only convs whose OUTPUT resolution is
+    # >= this (e.g. 512 -> only the 512^2/1024^2 blocks, where activation
+    # stashes dominate HBM traffic; the cheap low-res blocks keep their
+    # residuals).  None disables; ``remat=True`` overrides (all blocks).
+    remat_min_res: Optional[int] = None
     policy: Policy = dataclasses.field(default_factory=default_policy)
 
     @property
@@ -321,9 +326,14 @@ class Generator(nn.Module):
         buf = self.noises[i].value
         return jnp.broadcast_to(buf, (shape[0],) + buf.shape[1:])
 
+    def _remat_at(self, out_res: int) -> bool:
+        return self.remat or (self.remat_min_res is not None
+                              and out_res >= self.remat_min_res)
+
     def _styled_conv(self, x, conv_idx, noise_idx, s, up, randomize, key):
         w = self.conv_weights[conv_idx]
         b = self.conv_biases[conv_idx]
+        use_remat = self._remat_at(x.shape[1] * (2 if up else 1))
 
         if not up and not randomize:
             # the non-upsampling styled conv has a fully-fused Pallas form
@@ -337,7 +347,7 @@ class Generator(nn.Module):
             def body(x, s_):
                 return styled_conv(x, w, s_, buf, ns, b)
 
-            if self.remat:
+            if use_remat:
                 body = jax.checkpoint(body)
             return body(x, s)
 
@@ -350,7 +360,7 @@ class Generator(nn.Module):
             noise = self._noise(noise_idx, y.shape[:3] + (1,), randomize, key)
             return noise_bias_act(y, noise, self.noise_strength[noise_idx], b)
 
-        if self.remat:
+        if use_remat:
             body = jax.checkpoint(body)
         return body(x, s)
 
@@ -393,11 +403,13 @@ def create_generator(
     channel_multiplier: int = 2,
     policy: Optional[Policy] = None,
     remat: bool = False,
+    remat_min_res: Optional[int] = None,
 ):
     """Build a Generator and its variables; returns (module, variables)."""
     policy = policy or default_policy()
     gen = Generator(
-        size=size, channel_multiplier=channel_multiplier, policy=policy, remat=remat
+        size=size, channel_multiplier=channel_multiplier, policy=policy,
+        remat=remat, remat_min_res=remat_min_res,
     )
     z = jnp.zeros((1, gen.style_dim), policy.compute_dtype)
     variables = jax.jit(lambda k, z_: gen.init(k, [z_]))(key, z)

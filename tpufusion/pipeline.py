@@ -50,6 +50,7 @@ class FusionPipeline:
         channel_multiplier: int = 2,
         policy: Optional[Policy] = None,
         remat: bool = False,
+        remat_min_res: Optional[int] = None,
         mean_latent_samples: int = 4096,
         encoder_base_channels: int = 64,
         encoder_units=(3, 4, 14, 3),
@@ -62,7 +63,8 @@ class FusionPipeline:
         kd, ke, kv = jax.random.split(key, 3)
         drawer = FusionDrawer.create(
             dataset, kd, size=size, channel_multiplier=channel_multiplier,
-            policy=policy, remat=remat, mean_latent_samples=mean_latent_samples,
+            policy=policy, remat=remat, remat_min_res=remat_min_res,
+            mean_latent_samples=mean_latent_samples,
         )
         n_styles = drawer.generator.n_latent
         encoder, enc_vars = create_encoder(
