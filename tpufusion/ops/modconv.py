@@ -21,13 +21,133 @@ channel scalar), so it is still applied as an output scaling.
 
 from __future__ import annotations
 
+import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
 from jax import lax
 
 from tpufusion.ops.upfirdn2d import blur, make_blur_kernel
+
+
+# ---------------------------------------------------------------------------
+# Space-to-depth packing for the low-channel synthesis tail.
+#
+# A 3x3 SAME conv at (H, W, C) is numerically identical to a 3x3 SAME conv
+# at (H/2, W/2, 4C) on the space-to-depth packing of the input, with a
+# sparse-transformed kernel (each output phase (py,px) gathers the 9 taps
+# it needs from the (block-offset, input-phase) grid; 36 of the 144
+# phase-pair blocks are nonzero).  The packed conv trades 4x nominal FLOPs
+# for full 128-lane MXU occupancy.
+#
+# MEASURED (v5e, 1024^2 C=32, docs/DESIGN.md §9): the bare conv wins 2.1x
+# in isolation (15.8 -> 7.6 ms, 9.8 -> 81.7 effective TFLOP/s) — but
+# END-TO-END the whitebox step LOSES: 155 -> 171 ms fully packed (the
+# s2d/d2s transposes add ~10 GB of backward traffic) and 155 -> 165 ms
+# even with a custom-VJP direct backward (the repack passes + broken
+# epilogue fusion outweigh the conv saving; the program is
+# bandwidth-bound, so a compute-side win cannot pay for extra passes over
+# 0.5 GB activations).  Default therefore OFF; the path stays available
+# via TPUFUSION_S2D_TAIL=1 for forward-dominated experiments.
+# ---------------------------------------------------------------------------
+
+S2D_MIN_RES = 1024
+
+
+def _s2d(x: jax.Array) -> jax.Array:
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // 2, 2, w // 2, 2, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 2, w // 2, 4 * c)
+
+
+def _d2s(y: jax.Array, c: int) -> jax.Array:
+    n, h2, w2, _ = y.shape
+    y = y.reshape(n, h2, w2, 2, 2, c)
+    return y.transpose(0, 1, 3, 2, 4, 5).reshape(n, h2 * 2, w2 * 2, c)
+
+
+@functools.lru_cache(maxsize=None)
+def _s2d_weight_plan(cin: int, cout: int):
+    """Nonzero-block index plan for the packed 3x3 kernel: entries
+    (A, B, dy, dx, py, px, ky, kx) with ky = 2A+dy-py-1, kx = 2B+dx-px-1
+    in range."""
+    plan = []
+    for A in range(3):
+        for B in range(3):
+            for dy in range(2):
+                for dx in range(2):
+                    for py in range(2):
+                        for px in range(2):
+                            ky = 2 * A + dy - py - 1
+                            kx = 2 * B + dx - px - 1
+                            if 0 <= ky < 3 and 0 <= kx < 3:
+                                plan.append((A, B, dy, dx, py, px, ky, kx))
+    return tuple(plan)
+
+
+def s2d_transform_weights(w: jax.Array) -> jax.Array:
+    """(3, 3, Cin, Cout) -> (3, 3, 4*Cin, 4*Cout) packed-space kernel.
+
+    Built by scatter of the 36 nonzero (phase-in, phase-out) blocks; traced
+    once per shape (the scatter is on weights, negligible next to the conv).
+    """
+    _, _, cin, cout = w.shape
+    wp = jnp.zeros((3, 3, 4 * cin, 4 * cout), w.dtype)
+    for A, B, dy, dx, py, px, ky, kx in _s2d_weight_plan(cin, cout):
+        ci0 = (dy * 2 + dx) * cin
+        co0 = (py * 2 + px) * cout
+        wp = wp.at[A, B, ci0:ci0 + cin, co0:co0 + cout].set(w[ky, kx])
+    return wp
+
+
+def _conv3x3_direct(xs: jax.Array, w: jax.Array) -> jax.Array:
+    return lax.conv_general_dilated(
+        xs, w, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+@jax.custom_vjp
+def conv3x3_s2d(xs: jax.Array, w: jax.Array) -> jax.Array:
+    """3x3 SAME conv: space-to-depth packed FORWARD, direct-composite
+    BACKWARD.
+
+    The packed conv wins 2.1x on the forward at 1024^2 C=32, but
+    differentiating *through* the s2d/d2s transposes adds ~4 extra full
+    passes over the activation buffer (measured: whitebox step 155 -> 171 ms
+    with a fully-packed grad).  The custom VJP keeps the forward win and
+    hands the backward to XLA's autodiff of the direct conv — numerically
+    identical, no extra residuals (xs and w are live either way).
+    """
+    cout = w.shape[3]
+    wp = s2d_transform_weights(w)
+    y = lax.conv_general_dilated(
+        _s2d(xs), wp, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return _d2s(y, cout)
+
+
+def _c3s2d_fwd(xs, w):
+    return conv3x3_s2d(xs, w), (xs, w)
+
+
+def _c3s2d_bwd(res, g):
+    xs, w = res
+    _, vjp = jax.vjp(_conv3x3_direct, xs, w)
+    return vjp(g)
+
+
+conv3x3_s2d.defvjp(_c3s2d_fwd, _c3s2d_bwd)
+
+
+def _use_s2d(h: int, w: int, kh: int, cin: int) -> bool:
+    if os.environ.get("TPUFUSION_S2D_TAIL", "0") in ("0", "off", ""):
+        return False  # measured default: see module comment
+    return (kh == 3 and cin <= 32 and min(h, w) >= S2D_MIN_RES
+            and h % 2 == 0 and w % 2 == 0)
 
 
 def modulated_conv2d(
@@ -86,6 +206,9 @@ def modulated_conv2d(
             padding="VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
+    elif _use_s2d(x.shape[1], x.shape[2], kh, cin):
+        # low-channel high-res tail: packed-space conv fills the MXU lanes
+        y = conv3x3_s2d(xs, w)
     else:
         y = lax.conv_general_dilated(
             xs,
