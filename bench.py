@@ -166,7 +166,18 @@ def main() -> int:
 
     predict = jax.jit(
         lambda v, x: jnp.argmax(clf.apply(v, avg_pool(x, clf_factor)), -1))
-    labels = predict(clf_vars, imgs)
+    # attacked batch: borderline in-distribution images (brightness shift
+    # about 1.5x the eps budget) so "flipped" measures real attack success
+    # against the trained classifier — a decision boundary an eps-ball PGD
+    # can actually reach, unlike far-off-manifold uniform noise
+    import numpy as _np
+
+    _rng = _np.random.RandomState(11)
+    _y = _rng.randint(0, 2, batch)
+    clf_imgs = jnp.asarray(_np.clip(
+        _rng.uniform(-0.5, 0.5, (batch, size, size, 3)).astype(_np.float32)
+        + (_y[:, None, None, None] * 2 - 1) * 0.1, -1, 1))
+    labels = predict(clf_vars, clf_imgs)
 
     # params + labels as loss args (closure-captured params would embed
     # the model as constants into the compile request)
@@ -183,14 +194,14 @@ def main() -> int:
     # NB: on the tunnel backend block_until_ready does not synchronize —
     # a scalar value fetch is the only reliable barrier.
     t0 = time.time()
-    adv, trace = attack(imgs, jax.random.key(2), clf_vars, labels)
+    adv, trace = attack(clf_imgs, jax.random.key(2), clf_vars, labels)
     _ = float(trace[-1])
     log(f"pgd compile+warmup ({steps} steps) in {time.time() - t0:.1f}s")
 
     t0 = time.time()
     for c in range(calls):
         adv, trace = attack(
-            imgs, jax.random.fold_in(jax.random.key(3), c), clf_vars, labels,
+            clf_imgs, jax.random.fold_in(jax.random.key(3), c), clf_vars, labels,
         )
     ce = float(trace[-1])  # hard device fetch: forces all queued calls
     dt = time.time() - t0
