@@ -328,6 +328,28 @@ class TestShardedGroupFusionAttack:
             np.testing.assert_allclose(np.asarray(traces[gi]),
                                        np.asarray(ref_trace), rtol=1e-4)
 
+    def test_run_whitebox_sharded_which_adv_subset(self, pipeline):
+        """The driver-level sharded whitebox honours which_adv: only the
+        selected rows are perturbed, the rest return untouched — with a
+        subset size that does NOT divide the mesh (pad-and-slice)."""
+        from tpufusion.attacks.whitebox import PRESET_ATTACK_MAIN, WhiteboxConfig
+        from tpufusion.parallel import run_whitebox_sharded
+
+        mesh = create_mesh(jax.devices())
+        inputs = jax.random.uniform(jax.random.key(71), (5, 32, 32, 3),
+                                    minval=-1, maxval=1)
+        target = jax.random.uniform(jax.random.key(72), (1, 32, 32, 3),
+                                    minval=-1, maxval=1)
+        cfg = WhiteboxConfig(lr=1e-2, n_iters=2, weights=PRESET_ATTACK_MAIN)
+        adv, trace = run_whitebox_sharded(pipeline, inputs, target, cfg,
+                                          which_adv=[1, 3, 4], mesh=mesh)
+        assert adv.shape == inputs.shape
+        assert trace.shape == (2,)
+        moved = np.asarray(jnp.max(jnp.abs(adv - inputs),
+                                   axis=(1, 2, 3)))
+        assert moved[0] == 0.0 and moved[2] == 0.0  # untouched rows
+        assert all(moved[i] > 0.0 for i in (1, 3, 4))
+
     def test_non_divisible_group_count_pads_and_slices(self, pipeline):
         """G % data != 0 must pad-and-mask, not raise (VERDICT r2 weak #5);
         results for the real groups match the even-division semantics."""

@@ -237,6 +237,11 @@ class HierarchyBlender:
         from tpufusion.io import load_torch_state_dict
 
         state = load_torch_state_dict(path)
+        # common torch checkpoint wrappers
+        for wrapper in ("state_dict", "model", "net"):
+            if wrapper in state and isinstance(state[wrapper], dict):
+                state = state[wrapper]
+                break
         layers = []
         for k, v in state.items():
             if not k.endswith(".weight"):
