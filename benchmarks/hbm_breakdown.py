@@ -151,7 +151,8 @@ def hbm_traffic_breakdown(hlo_text: str, top: int = 25) -> dict:
             if opcode in _ALIAS_OPS and operands:
                 src = operands[0]
                 alias[name] = alias.get(src, src)
-                # a tuple still *reads* nothing; gte/bitcast are views
+                continue  # views/grouping: no write AND no operand reads —
+                # traffic is charged where the aliased buffer is USED
             elif opcode in _FREE_OPS:
                 defs[name] = (_norm_shape(type_str), nbytes, opcode)
                 continue  # no write charged; reads charged at uses
