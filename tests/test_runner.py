@@ -376,6 +376,31 @@ class TestCLI:
         assert (tmp_path / "inv" / "latents.npz").exists()
         assert (tmp_path / "inv" / "inversions" / "00001.jpg").exists()
 
+    def test_invert_cli_mesh_matches_single(self, tmp_path):
+        """--mesh N shards the encode batch; latents must equal the
+        single-device run (incl. a batch that does not divide the mesh)."""
+        import numpy as _np
+        from PIL import Image
+
+        from tpufusion.cli.invert import main
+
+        img_dir = tmp_path / "imgs"
+        img_dir.mkdir()
+        for i in range(3):
+            Image.fromarray(
+                (_np.random.RandomState(i).rand(40, 40, 3) * 255).astype("uint8")
+            ).save(img_dir / f"{i}.png")
+        for name, extra in (("single", []), ("mesh", ["--mesh", "4"])):
+            rc = main([
+                "--images_dir", str(img_dir), "--dataset", "church", "--tiny",
+                "--size", "32", "--save_dir", str(tmp_path / name),
+                "--batch", "3", "--latents_only", *extra,
+            ])
+            assert rc == 0
+        a = _np.load(tmp_path / "single" / "latents.npz")["latents"]
+        b = _np.load(tmp_path / "mesh" / "latents.npz")["latents"]
+        _np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
 
 class TestAdvGenerate:
     def test_loads_npz_artifact(self, pipeline, batch, tmp_path):

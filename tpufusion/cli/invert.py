@@ -29,6 +29,9 @@ def main(argv=None) -> int:
                         "(`attack_main2.py:103-104` loader path)")
     p.add_argument("--landmark_net", default=None)
     p.add_argument("--dlib_predictor", default=None)
+    p.add_argument("--mesh", default=None, metavar="N", type=int,
+                   help="shard the encode batch over an N-device 'data' "
+                        "mesh (batch-encode is embarrassingly parallel)")
     args = p.parse_args(argv)
 
     import jax
@@ -63,9 +66,29 @@ def main(argv=None) -> int:
     n = min(args.n_sample or len(ds), len(ds))
     loader = BatchLoader(ds, np.arange(n), args.batch, shuffle=False, drop_last=False)
 
+    get_latents = pipeline.get_latents
+    mesh = None
+    if args.mesh and args.mesh > 1:
+        from tpufusion.parallel import (
+            batch_sharding,
+            create_mesh,
+            pad_batch_to_multiple,
+        )
+
+        mesh = create_mesh(jax.devices()[: args.mesh])
+        data = mesh.shape["data"]
+        print(f"[invert] DP encode over mesh {dict(mesh.shape)}")
+
+        def get_latents(batch):  # noqa: F811 — sharded override
+            padded, n_real = pad_batch_to_multiple(batch, data)
+            padded = jax.device_put(padded, batch_sharding(mesh, padded.ndim))
+            with mesh:
+                out = pipeline.get_latents(padded)
+            return out[:n_real]
+
     all_latents = []
     for batch in loader:
-        all_latents.append(np.asarray(pipeline.get_latents(jax.numpy.asarray(batch))))
+        all_latents.append(np.asarray(get_latents(jax.numpy.asarray(batch))))
     latents = np.concatenate(all_latents, axis=0)
     lat_path = os.path.join(args.save_dir, "latents.npz")
     np.savez(lat_path, latents=latents)
