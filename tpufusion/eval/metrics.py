@@ -81,7 +81,10 @@ def ssim(a: jax.Array, b: jax.Array, *, win: int = 7, data_range: float = 2.0) -
     s = ((2 * ux * uy + c1) * (2 * vxy + c2)) / (
         (ux * ux + uy * uy + c1) * (vx + vy + c2)
     )
-    return jnp.mean(s, axis=(1, 2, 3))
+    # fp32 variance cancellation on near-identical images can push the mean
+    # a few 1e-4 past 1.0 (skimage evaluates the same formula in fp64);
+    # clamp to SSIM's mathematical range — strictly closer to the fp64 value
+    return jnp.clip(jnp.mean(s, axis=(1, 2, 3)), -1.0, 1.0)
 
 
 def perceptual_distance_per_image(feats_a, feats_b):
