@@ -284,6 +284,42 @@ class TestOrbaxShardedCheckpoint:
             np.testing.assert_allclose(np.asarray(a), np.asarray(r))
         assert restored["x"].sharding.spec == template["x"].sharding.spec
 
+    def test_sharded_whitebox_resume_matches_unbroken(self, pipeline, tmp_path):
+        """Interrupt-and-resume of the DP whitebox attack through Orbax
+        sharded checkpoints equals an unbroken run (multi-chip failure
+        recovery; io.run_whitebox_sharded_resumable)."""
+        import dataclasses as _dc
+
+        from tpufusion.io import run_whitebox_sharded_resumable
+        from tpufusion.parallel import run_whitebox_sharded
+
+        mesh = create_mesh(jax.devices())
+        inputs = jax.random.uniform(jax.random.key(81), (5, 32, 32, 3),
+                                    minval=-1, maxval=1)
+        target = jax.random.uniform(jax.random.key(82), (1, 32, 32, 3),
+                                    minval=-1, maxval=1)
+        cfg4 = WhiteboxConfig(lr=1e-2, n_iters=4, weights=PRESET_ATTACK_MAIN)
+        ckpt = str(tmp_path / "wb_ckpt")
+
+        # "interrupted" leg: run only 2 of the 4 iterations, checkpointing
+        cfg2 = _dc.replace(cfg4, n_iters=2)
+        _, tr1, start1 = run_whitebox_sharded_resumable(
+            pipeline, inputs, target, cfg2, None, mesh, ckpt,
+            checkpoint_every=2)
+        assert start1 == 0 and tr1.shape == (2,)
+
+        # resume leg: same config asks for 4, picks up at iteration 2
+        adv_resumed, tr2, start2 = run_whitebox_sharded_resumable(
+            pipeline, inputs, target, cfg4, None, mesh, ckpt,
+            checkpoint_every=2)
+        assert start2 == 2 and tr2.shape == (2,)
+
+        adv_unbroken, _ = run_whitebox_sharded(pipeline, inputs, target,
+                                               cfg4, None, mesh)
+        np.testing.assert_allclose(np.asarray(adv_resumed),
+                                   np.asarray(adv_unbroken),
+                                   rtol=1e-6, atol=1e-6)
+
 
 class TestShardedGroupFusionAttack:
     def test_groups_match_sequential(self, pipeline):

@@ -8,6 +8,7 @@ from tpufusion.io.artifacts import (
 from tpufusion.io.attack_state import (
     load_attack_state,
     run_whitebox_resumable,
+    run_whitebox_sharded_resumable,
     save_attack_state,
 )
 from tpufusion.io.orbax_io import (

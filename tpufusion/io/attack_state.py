@@ -96,3 +96,78 @@ def run_whitebox_resumable(pipeline, img, target_img, config,
     else:  # already complete — nothing executed
         trace = None
     return state["x"], trace, start
+
+
+def run_whitebox_sharded_resumable(
+    pipeline, inputs, target_img, config, which_adv, mesh,
+    checkpoint_dir: str, *, checkpoint_every: int = 10,
+):
+    """Multi-chip variant of :func:`run_whitebox_resumable`: the DP sharded
+    white-box attack (``parallel.run_whitebox_sharded`` semantics — padded
+    batch over the ``data`` axis, which_adv selection) with periodic ORBAX
+    checkpoints of the SHARDED state (`io/orbax_io.py` — each host writes
+    its shards; restore places leaves back onto the template's
+    NamedShardings, so a resumed run continues with the exact trajectory).
+
+    Checkpoints live under ``checkpoint_dir/step_N``; the newest restorable
+    one wins, older ones are pruned after a successful save (the previous
+    checkpoint survives any crash mid-save).  Returns
+    ``(adv_inputs, trace, start_iter)``.
+    """
+    import glob
+    import shutil
+
+    from tpufusion.io.orbax_io import restore_checkpoint, save_checkpoint
+    from tpufusion.parallel.sharding import (
+        make_sharded_whitebox_step,
+        pad_batch_to_multiple,
+    )
+
+    n = inputs.shape[0]
+    which = sorted(set(range(n)) if not which_adv else set(which_adv))
+    idx = jnp.asarray(which)
+    sub = inputs[idx]
+    targets = (jnp.broadcast_to(target_img, sub.shape)
+               if target_img.shape[0] == 1 else target_img[idx])
+    data = mesh.shape["data"]
+    sub_p, n_real = pad_batch_to_multiple(sub, data)
+    targets_p, _ = pad_batch_to_multiple(targets, data)
+
+    step, init, place_batch = make_sharded_whitebox_step(pipeline, config, mesh)
+    imgs, tgts = place_batch(sub_p, targets_p)
+    with mesh:
+        state = init(imgs, tgts)
+
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    start = 0
+    candidates = sorted(
+        glob.glob(os.path.join(checkpoint_dir, "step_*")),
+        key=lambda p: int(p.rsplit("_", 1)[1]), reverse=True)
+    for cand in candidates:
+        try:
+            state = restore_checkpoint(cand, state)
+            start = int(cand.rsplit("_", 1)[1])
+            break
+        except Exception:  # partial/corrupt save: fall back to the previous
+            continue
+
+    losses = []
+    with mesh:
+        for i in range(start, config.n_iters):
+            state, loss = step(state)
+            losses.append(loss)
+            done = i + 1
+            if checkpoint_every and (done % checkpoint_every == 0
+                                     or done == config.n_iters):
+                path = os.path.join(checkpoint_dir, f"step_{done}")
+                if os.path.exists(path):
+                    shutil.rmtree(path)
+                save_checkpoint(path, state)
+                for old in glob.glob(os.path.join(checkpoint_dir, "step_*")):
+                    if old != path:
+                        shutil.rmtree(old, ignore_errors=True)
+
+    adv_sel = state["x"][:n_real]
+    adv = inputs.at[idx].set(adv_sel)
+    trace = jnp.stack(losses) if losses else None
+    return adv, trace, start
