@@ -22,7 +22,7 @@ regressions are visible in BENCH_r{N}.json (VERDICT r2 weak #2):
   (SURVEY §3.3, the reference's hottest loop)
 - ``partial_fusion_sweep_ms`` — the (N+1)-variant spatial partial-fusion
   evaluation as one batched synthesis (`interpolation.py:978-1031`)
-- ``patch_train_steps_per_sec`` — adversarial-patch inner iterations
+- ``patch_train_iters_per_sec`` — adversarial-patch inner iterations
   (`adversarial_patch.py:94-160`, the reference's costliest job)
 
 Env knobs: BENCH_SIZE (1024), BENCH_BATCH (8), BENCH_STEPS (100),

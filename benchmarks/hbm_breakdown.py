@@ -43,13 +43,17 @@ _DTYPE_BYTES = {
 _SHAPE_RE = re.compile(r"([a-z0-9]+)\[([\d,]*)\]")
 _INSTR_RE = re.compile(r"^\s*(?:ROOT\s+)?%?([\w.\-]+)\s*=\s*(.*)$")
 _OPCODE_RE = re.compile(r"\s([a-z][a-z0-9\-]*)\(")
-# aliasing / zero-traffic opcodes: their "output" is the same buffer (or a
-# metadata-only view) — reads resolve through them to the source.
-# (transpose/copy are REAL traffic on TPU; copy-start moves the bytes and
-# copy-done is the view of its result.)
-_ALIAS_OPS = {"bitcast", "get-tuple-element", "tuple", "copy-done"}
+# aliasing / zero-traffic opcodes.
+# - bitcast/copy-done are pure same-bytes views: reads resolve to the source.
+# - get-tuple-element and tuple are FREE defs with their OWN declared type
+#   (a gte's type is the element's shape; a tuple's type sums its
+#   components) — charging reads at the view's own size keeps per-shape
+#   buckets exact instead of collapsing every element to operand 0.
+# - transpose/copy are REAL traffic on TPU; copy-start moves the bytes and
+#   copy-done is the view of its result.
+_ALIAS_OPS = {"bitcast", "copy-done"}
 _FREE_OPS = {"parameter", "constant", "iota", "after-all", "partition-id",
-             "replica-id"}
+             "replica-id", "get-tuple-element", "tuple"}
 
 
 def _shape_bytes(type_str: str) -> int:

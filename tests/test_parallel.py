@@ -71,8 +71,10 @@ class TestShardedWhitebox:
         with mesh1:
             st = init1(imgs, targets)
             st, loss_single = step1(st)
+        # per-image loss vectors (B,) must match elementwise
+        assert loss_sharded.shape == (b,)
         np.testing.assert_allclose(
-            float(loss_sharded), float(loss_single), rtol=1e-4
+            np.asarray(loss_sharded), np.asarray(loss_single), rtol=1e-4
         )
 
     def test_dp_patch_train_step_matches_single_device(self, pipeline):
@@ -306,13 +308,13 @@ class TestOrbaxShardedCheckpoint:
         _, tr1, start1 = run_whitebox_sharded_resumable(
             pipeline, inputs, target, cfg2, None, mesh, ckpt,
             checkpoint_every=2)
-        assert start1 == 0 and tr1.shape == (2,)
+        assert start1 == 0 and tr1.shape == (5, 2)
 
         # resume leg: same config asks for 4, picks up at iteration 2
         adv_resumed, tr2, start2 = run_whitebox_sharded_resumable(
             pipeline, inputs, target, cfg4, None, mesh, ckpt,
             checkpoint_every=2)
-        assert start2 == 2 and tr2.shape == (2,)
+        assert start2 == 2 and tr2.shape == (5, 2)
 
         adv_unbroken, _ = run_whitebox_sharded(pipeline, inputs, target,
                                                cfg4, None, mesh)
@@ -380,7 +382,7 @@ class TestShardedGroupFusionAttack:
         adv, trace = run_whitebox_sharded(pipeline, inputs, target, cfg,
                                           which_adv=[1, 3, 4], mesh=mesh)
         assert adv.shape == inputs.shape
-        assert trace.shape == (2,)
+        assert trace.shape == (3, 2)  # per-image trajectories, pads sliced
         moved = np.asarray(jnp.max(jnp.abs(adv - inputs),
                                    axis=(1, 2, 3)))
         assert moved[0] == 0.0 and moved[2] == 0.0  # untouched rows

@@ -306,7 +306,18 @@ def main(argv=None) -> int:
         from tpufusion.parallel import create_mesh, shard_generator_params
 
         spec = _parse_mesh_spec(args.mesh)
-        mesh = create_mesh(jax.devices(), data=spec.get("data"),
+        devices = jax.devices()
+        if spec.get("data") is not None:
+            # a smaller mesh than the host uses the first data*model devices
+            # (same semantics as `invert --mesh N`)
+            want = spec["data"] * spec["model"]
+            if want > len(devices):
+                raise SystemExit(
+                    f"--mesh requests {want} devices "
+                    f"(data={spec['data']} x model={spec['model']}) but only "
+                    f"{len(devices)} are visible")
+            devices = devices[:want]
+        mesh = create_mesh(devices, data=spec.get("data"),
                            model=spec["model"])
         if mesh.shape["model"] > 1:
             # TP: shard mapping/affine out-features + conv out-channels

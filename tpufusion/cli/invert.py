@@ -75,6 +75,10 @@ def main(argv=None) -> int:
             pad_batch_to_multiple,
         )
 
+        if args.mesh > len(jax.devices()):
+            raise SystemExit(
+                f"--mesh {args.mesh} requests more devices than the "
+                f"{len(jax.devices())} visible")
         mesh = create_mesh(jax.devices()[: args.mesh])
         data = mesh.shape["data"]
         print(f"[invert] DP encode over mesh {dict(mesh.shape)}")

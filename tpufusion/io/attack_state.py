@@ -138,10 +138,16 @@ def run_whitebox_sharded_resumable(
     with mesh:
         state = init(imgs, tgts)
 
+    import re
+
     os.makedirs(checkpoint_dir, exist_ok=True)
     start = 0
+    # only completed step_N dirs — Orbax's atomic-save protocol leaves
+    # 'step_N.orbax-checkpoint-tmp-*' behind after a crash mid-save, which
+    # must neither be restored nor break the sort
     candidates = sorted(
-        glob.glob(os.path.join(checkpoint_dir, "step_*")),
+        (p for p in glob.glob(os.path.join(checkpoint_dir, "step_*"))
+         if re.fullmatch(r"step_\d+", os.path.basename(p))),
         key=lambda p: int(p.rsplit("_", 1)[1]), reverse=True)
     for cand in candidates:
         try:
@@ -154,8 +160,8 @@ def run_whitebox_sharded_resumable(
     losses = []
     with mesh:
         for i in range(start, config.n_iters):
-            state, loss = step(state)
-            losses.append(loss)
+            state, per = step(state)  # (B,) per-image losses
+            losses.append(per)
             done = i + 1
             if checkpoint_every and (done % checkpoint_every == 0
                                      or done == config.n_iters):
@@ -164,10 +170,11 @@ def run_whitebox_sharded_resumable(
                     shutil.rmtree(path)
                 save_checkpoint(path, state)
                 for old in glob.glob(os.path.join(checkpoint_dir, "step_*")):
-                    if old != path:
+                    if old != path:  # prune older + leftover tmp dirs
                         shutil.rmtree(old, ignore_errors=True)
 
     adv_sel = state["x"][:n_real]
     adv = inputs.at[idx].set(adv_sel)
-    trace = jnp.stack(losses) if losses else None
+    # (n_selected, iters-this-call) per-image trajectories, pad rows dropped
+    trace = jnp.stack(losses, axis=1)[:n_real] if losses else None
     return adv, trace, start

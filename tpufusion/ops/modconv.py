@@ -144,8 +144,11 @@ conv3x3_s2d.defvjp(_c3s2d_fwd, _c3s2d_bwd)
 
 
 def _use_s2d(h: int, w: int, kh: int, cin: int) -> bool:
-    if os.environ.get("TPUFUSION_S2D_TAIL", "0") in ("0", "off", ""):
-        return False  # measured default: see module comment
+    # explicit opt-in only (measured default OFF: see module comment) —
+    # anything else, incl. 'false'/'OFF'/typos, keeps the default path
+    if os.environ.get("TPUFUSION_S2D_TAIL", "0").lower() not in ("1", "on",
+                                                                 "true"):
+        return False
     return (kh == 3 and cin <= 32 and min(h, w) >= S2D_MIN_RES
             and h % 2 == 0 and w % 2 == 0)
 

@@ -158,13 +158,16 @@ def make_sharded_whitebox_step(pipeline, config, mesh: Mesh):
     (or TP-sharded via ``shard_generator_params``).
 
     Returns ``(step, init)`` where ``init(imgs, targets) -> state`` and
-    ``step(state) -> (state, loss)``; both jitted with explicit shardings.
+    ``step(state) -> (state, per_image_loss)`` — the loss comes back as a
+    (B,) vector (every term per image, incl. the perceptual ones) so
+    callers can slice padded rows off and log honest per-image
+    trajectories; both jitted with explicit shardings.
     """
     import jax.numpy as jnp
     import optax
 
     from tpufusion.core.imaging import avg_pool
-    from tpufusion.models.vgg16 import perceptual_distance
+    from tpufusion.eval.metrics import perceptual_distance_per_image
 
     w = config.weights
     enc = pipeline.encode_fn()
@@ -195,19 +198,18 @@ def make_sharded_whitebox_step(pipeline, config, mesh: Mesh):
             + w.img_rec_org * mse_b(img_org, img_rec)
             + w.img_org * mse_b(img_org, x)
         )
-        loss = jnp.sum(per)
-        n = x.shape[0]
         if w.lpips_img != 0.0:
-            loss = loss + w.lpips_img * perceptual_distance(feats_x, feats_org) * n
+            per = per + w.lpips_img * perceptual_distance_per_image(
+                feats_x, feats_org)
         if w.lpips_rec_target != 0.0 or w.lpips_rec_org != 0.0:
             feats_rec = vgg(params["vgg"], avg_pool(img_rec, factor))
             if w.lpips_rec_target != 0.0:
-                loss = loss + w.lpips_rec_target * perceptual_distance(
-                    feats_rec, feats_target) * n
+                per = per + w.lpips_rec_target * perceptual_distance_per_image(
+                    feats_rec, feats_target)
             if w.lpips_rec_org != 0.0:
-                loss = loss + w.lpips_rec_org * perceptual_distance(
-                    feats_rec, feats_org) * n
-        return loss
+                per = per + w.lpips_rec_org * perceptual_distance_per_image(
+                    feats_rec, feats_org)
+        return jnp.sum(per), per
 
     bspec = lambda nd: NamedSharding(mesh, P("data", *([None] * (nd - 1))))
 
@@ -229,14 +231,14 @@ def make_sharded_whitebox_step(pipeline, config, mesh: Mesh):
     @functools.partial(jax.jit, donate_argnums=(1,))  # alias state in place
     def step_impl(params, state):
         x = state["x"]
-        loss, g = jax.value_and_grad(loss_fn, argnums=1)(
+        (_, per), g = jax.value_and_grad(loss_fn, argnums=1, has_aux=True)(
             params, x, state["img_org"], state["target"], state["latent_org"],
             state["latent_target"], state["feats_org"], state["feats_target"],
         )
         updates, opt_state = opt.update(g, state["opt_state"])
         x = optax.apply_updates(x, updates)
         new_state = dict(state, x=x, opt_state=opt_state)
-        return new_state, loss
+        return new_state, per
 
     init = lambda imgs, targets: init_impl(model_params, imgs, targets)
     step = lambda state: step_impl(model_params, state)
@@ -268,9 +270,11 @@ def make_sharded_patch_train_step(pipeline, config, mesh: Mesh):
     gradient descent ``patch -= step_size * grad``, clamp to the batch's
     pixel range (`:138`).
 
-    Returns ``(step, place_batch)``; ``step(imgs, patch, key) ->
-    (patch', loss_trace)`` with ``imgs`` data-sharded and ``patch``
-    replicated.
+    Returns ``(step, place_batch)``; ``step(imgs, patch, key,
+    row_weights=None) -> (patch', loss_trace)`` with ``imgs`` data-sharded
+    and ``patch`` replicated.  ``row_weights`` (B,) masks rows out of the
+    shared-patch gradient — padded/wrapped rows MUST be zero-weighted or
+    they double-count in the weighted mean (``None`` = all ones).
     """
     import jax.numpy as jnp
 
@@ -284,27 +288,24 @@ def make_sharded_patch_train_step(pipeline, config, mesh: Mesh):
     size = pipeline.image_size
     transform = square_transform if cfg.patch_type == "square" else circle_transform
 
-    def mse(a, b):
-        d = a.astype(jnp.float32) - b.astype(jnp.float32)
-        return jnp.mean(d * d)
-
     @jax.jit
-    def step_impl(params, imgs, patch, key):
+    def step_impl(params, imgs, patch, key, row_weights):
         n = imgs.shape[0]
         keys = jax.random.split(key, n)  # one placement per image, fixed
         latent_org = jax.lax.stop_gradient(
             enc(params["enc"], avg_pool(imgs, factor)))
         cmin, cmax = jnp.min(imgs), jnp.max(imgs)
+        wsum = jnp.sum(row_weights)
 
         def loss_fn(patch_):
             canvases, masks, _ = jax.vmap(
                 transform, in_axes=(None, None, 0))(patch_, size, keys)
             adv = (1.0 - masks) * imgs + masks * canvases
             adv_latent = enc(params["enc"], avg_pool(adv, factor))
-            # per-image MSE mean over batch == mean of per-image losses
+            # weighted mean of per-image losses: padded rows carry weight 0
             d = (latent_org - adv_latent).astype(jnp.float32)
-            return cfg.w_latent_org * jnp.mean(
-                jnp.mean(d * d, axis=tuple(range(1, d.ndim))))
+            per = jnp.mean(d * d, axis=tuple(range(1, d.ndim)))
+            return cfg.w_latent_org * jnp.sum(row_weights * per) / wsum
 
         grad_fn = jax.value_and_grad(loss_fn)
 
@@ -315,16 +316,22 @@ def make_sharded_patch_train_step(pipeline, config, mesh: Mesh):
 
         return jax.lax.scan(inner, patch, None, length=cfg.max_count)
 
-    def step(imgs, patch, key):
-        return step_impl(model_params, imgs, patch, key)
+    def step(imgs, patch, key, row_weights=None):
+        if row_weights is None:
+            row_weights = jnp.ones((imgs.shape[0],), jnp.float32)
+        return step_impl(model_params, imgs, patch, key, row_weights)
 
     step.jitted = step_impl
 
-    def place_batch(imgs, patch):
-        return (
+    def place_batch(imgs, patch, row_weights=None):
+        placed = (
             jax.device_put(imgs, batch_sharding(mesh, imgs.ndim)),
             jax.device_put(patch, replicate(mesh)),
         )
+        if row_weights is None:
+            return placed
+        return placed + (
+            jax.device_put(row_weights, batch_sharding(mesh, 1)),)
 
     return step, place_batch
 
@@ -338,8 +345,10 @@ def run_whitebox_sharded(pipeline, inputs, target_img, config, which_adv,
     independent, so the wrapped pad rows cannot perturb real rows), and every
     step runs as one sharded program across the mesh.
 
-    Returns ``(adv_inputs, loss_trace)``; the trace is the per-step
-    batch-summed loss (``per_iter`` log kind)."""
+    Returns ``(adv_inputs, loss_trace)``; the trace is (n_selected, iters)
+    — per-image trajectories with padded rows sliced off
+    (``per_image_iter`` log kind, same contract as the single-device
+    ``run_whitebox``)."""
     import jax.numpy as jnp
 
     n = inputs.shape[0]
@@ -361,10 +370,11 @@ def run_whitebox_sharded(pipeline, inputs, target_img, config, which_adv,
     with mesh:
         state = init(imgs, tgts)
         for _ in range(config.n_iters):
-            state, loss = step(state)
-            losses.append(loss)
+            state, per = step(state)
+            losses.append(per)
     adv_sel = state["x"][:n_real]
-    return inputs.at[idx].set(adv_sel), jnp.stack(losses)
+    trace = jnp.stack(losses, axis=1)[:n_real]  # (n_selected, iters)
+    return inputs.at[idx].set(adv_sel), trace
 
 
 def train_patch_sharded(pipeline, images, key, config, mesh: Mesh,
@@ -395,14 +405,17 @@ def train_patch_sharded(pipeline, images, key, config, mesh: Mesh,
     patch = init(pipeline.image_size, cfg.patch_frac, kinit)
 
     imgs = jnp.concatenate([jnp.asarray(im) for im in images], axis=0)
-    imgs, _ = pad_batch_to_multiple(imgs, mesh.shape["data"])
+    imgs, n_real = pad_batch_to_multiple(imgs, mesh.shape["data"])
+    # wrapped pad rows are zero-weighted out of the shared-patch gradient —
+    # otherwise the duplicated images double-count in the weighted mean
+    row_weights = (jnp.arange(imgs.shape[0]) < n_real).astype(jnp.float32)
 
     step, place_batch = make_sharded_patch_train_step(pipeline, cfg, mesh)
     for epoch in range(cfg.epochs):
         key, k = jax.random.split(key)
-        s_imgs, s_patch = place_batch(imgs, patch)
+        s_imgs, s_patch, s_w = place_batch(imgs, patch, row_weights)
         with mesh:
-            patch, trace = step(s_imgs, s_patch, k)
+            patch, trace = step(s_imgs, s_patch, k, s_w)
         if log_fn is not None:
             log_fn(epoch, 0, np.asarray(trace))
     return canonical_canvas(patch, pipeline.image_size, cfg.patch_type)

@@ -259,10 +259,9 @@ def dispatch_attack(
 
             adv, tr = run_whitebox_sharded(pipeline, inputs, target, wcfg,
                                            cfg.which_adv, mesh)
-            write_loss_log(run_dir, attack, tr)  # batch-summed per step
         else:
             adv, tr = run_whitebox(pipeline, inputs, target, wcfg, cfg.which_adv)
-            write_loss_log(run_dir, attack, tr, kind="per_image_iter")
+        write_loss_log(run_dir, attack, tr, kind="per_image_iter")
         return [adv]
 
     if attack in ("pgd", "fgsm"):
