@@ -108,6 +108,29 @@ class TestShardedWhitebox:
         # the scanned loop actually descends the (negated-drift) objective
         assert float(trace_sharded[-1]) <= float(trace_sharded[0])
 
+    def test_train_patch_sharded_padding_matches_unpadded(self, pipeline):
+        """Padded (wrapped) rows must be masked out of the shared-patch
+        gradient: training 3 images on a 4+-device mesh equals the
+        unpadded 1-device run (self-review fix: duplicates double-counted
+        in the mean)."""
+        from tpufusion.attacks.patch import PatchConfig
+        from tpufusion.parallel import train_patch_sharded
+
+        cfg = PatchConfig(patch_frac=0.2, max_count=2, step_size=0.5,
+                          epochs=1)
+        images = [jax.random.uniform(jax.random.fold_in(jax.random.key(91), i),
+                                     (1, 32, 32, 3), minval=-1, maxval=1)
+                  for i in range(3)]
+        mesh_n = create_mesh(jax.devices())      # pads 3 -> 8
+        mesh_1 = create_mesh(jax.devices()[:1])  # no padding
+        c_n, m_n = train_patch_sharded(pipeline, images, jax.random.key(92),
+                                       cfg, mesh_n)
+        c_1, m_1 = train_patch_sharded(pipeline, images, jax.random.key(92),
+                                       cfg, mesh_1)
+        np.testing.assert_allclose(np.asarray(c_n), np.asarray(c_1),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(m_n), np.asarray(m_1))
+
     def test_tp_sharded_generator_params(self, pipeline):
         mesh = create_mesh(jax.devices(), model=2)
         sharded = shard_generator_params(pipeline.drawer.gen_vars, mesh,
