@@ -24,6 +24,8 @@ regressions are visible in BENCH_r{N}.json (VERDICT r2 weak #2):
   evaluation as one batched synthesis (`interpolation.py:978-1031`)
 - ``patch_train_iters_per_sec`` — adversarial-patch inner iterations
   (`adversarial_patch.py:94-160`, the reference's costliest job)
+- ``fusion_pgd_steps_per_sec`` — the fusion-aware PGD (BASELINE config 2):
+  one step differentiates encoder -> mean-W+ -> FULL 1024^2 synthesis
 
 Env knobs: BENCH_SIZE (1024), BENCH_BATCH (8), BENCH_STEPS (100),
 BENCH_CALLS (3), BENCH_TINY=1 (CPU smoke), BENCH_SUBMETRICS=0 (headline
@@ -350,6 +352,35 @@ def run_submetrics(pipeline, imgs, enc, factor, size, steps, out: dict) -> None:
         f"{p_rate:.2f} iters/sec (reference budget: 50 x 2000 imgs = 1e5 "
         f"iters -> {1e5 / p_rate / 60:.1f} min/epoch here)")
     out["patch_train_iters_per_sec"] = round(p_rate, 3)
+
+    # ---- fusion-aware PGD (BASELINE config 2; attacks/fusion_attack.py):
+    # every step backprops through encoder -> mean-W+ -> FULL synthesis —
+    # the strictly-stronger-than-reference attack this framework enables
+    from tpufusion.attacks.fusion_attack import (
+        FusionAttackConfig, make_fusion_attack,
+    )
+
+    fp_steps = max(steps // 20, 2)
+    facfg = FusionAttackConfig(
+        mode="arithmetic", objective="pixel", targeted=True,
+        pgd=PGDConfig(eps=0.06, alpha=0.01, steps=fp_steps,
+                      random_start=False),
+    )
+    fattack = make_fusion_attack(pipeline, facfg)
+    f_target = imgs[:1]
+    t0 = time.time()
+    fadv, ftr = fattack(imgs_n, f_target, jax.random.key(12))
+    _ = float(ftr[-1])
+    log(f"fusion-pgd compile+warmup ({fp_steps} steps) in "
+        f"{time.time() - t0:.1f}s")
+    t0 = time.time()
+    fadv, ftr = fattack(imgs_n, f_target, jax.random.key(13))
+    _ = float(ftr[-1])
+    fdt = time.time() - t0
+    log(f"fusion-pgd (arith, {n} inputs): {fp_steps} steps in {fdt:.2f}s -> "
+        f"{fp_steps / fdt:.2f} steps/sec (full encoder+synthesis backward); "
+        f"loss {float(ftr[0]):.4f} -> {float(ftr[-1]):.4f}")
+    out["fusion_pgd_steps_per_sec"] = round(fp_steps / fdt, 3)
 
 
 if __name__ == "__main__":
