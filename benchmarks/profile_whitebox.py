@@ -67,11 +67,12 @@ def main() -> int:
             state, terms = step(state)
         _ = float(terms["total"])
 
-    path = None
-    for r, _dirs, files in os.walk(trace_dir):
-        for f in files:
-            if f.endswith(".trace.json.gz"):
-                path = os.path.join(r, f)
+    # newest trace wins — a reused PW_TRACE_DIR accumulates one timestamped
+    # session subdir per run and os.walk order is filesystem-dependent
+    traces = [os.path.join(r, f)
+              for r, _dirs, files in os.walk(trace_dir)
+              for f in files if f.endswith(".trace.json.gz")]
+    path = max(traces, key=os.path.getmtime) if traces else None
     if path is None:
         print(json.dumps({"error": "no trace produced", "dir": trace_dir}))
         return 1

@@ -345,6 +345,28 @@ class TestOrbaxShardedCheckpoint:
                                    np.asarray(adv_unbroken),
                                    rtol=1e-6, atol=1e-6)
 
+    def test_sharded_resume_refuses_unrestorable_checkpoints(self, pipeline,
+                                                             tmp_path):
+        """Checkpoints that exist but cannot restore must raise, not
+        silently restart from 0 (a restart's first save would prune the
+        prior progress)."""
+        from tpufusion.io import run_whitebox_sharded_resumable
+
+        mesh = create_mesh(jax.devices())
+        inputs = jax.random.uniform(jax.random.key(85), (5, 32, 32, 3),
+                                    minval=-1, maxval=1)
+        target = jax.random.uniform(jax.random.key(86), (1, 32, 32, 3),
+                                    minval=-1, maxval=1)
+        cfg = WhiteboxConfig(lr=1e-2, n_iters=2, weights=PRESET_ATTACK_MAIN)
+        ckpt = tmp_path / "broken"
+        (ckpt / "step_5").mkdir(parents=True)  # garbage, unrestorable
+        (ckpt / "step_5" / "junk").write_text("not a checkpoint")
+        with pytest.raises(RuntimeError, match="refusing to restart"):
+            run_whitebox_sharded_resumable(pipeline, inputs, target, cfg,
+                                           None, mesh, str(ckpt))
+        # the garbage checkpoint was NOT pruned
+        assert (ckpt / "step_5").exists()
+
 
 class TestShardedGroupFusionAttack:
     def test_groups_match_sequential(self, pipeline):

@@ -111,34 +111,32 @@ def run_whitebox_sharded_resumable(
 
     Checkpoints live under ``checkpoint_dir/step_N``; the newest restorable
     one wins, older ones are pruned after a successful save (the previous
-    checkpoint survives any crash mid-save).  Returns
+    checkpoint survives any crash mid-save).  If checkpoints exist but NONE
+    restores (changed batch/size/config, incompatible Orbax version), this
+    raises instead of silently restarting from 0 — a restart would prune
+    the prior progress on its first save; clear ``checkpoint_dir``
+    explicitly to start over.  (Building the restore template costs one
+    ``init`` — the simplest carrier of the target NamedShardings that
+    ``restore_checkpoint`` places leaves onto.)  Returns
     ``(adv_inputs, trace, start_iter)``.
     """
     import glob
+    import re
     import shutil
 
     from tpufusion.io.orbax_io import restore_checkpoint, save_checkpoint
     from tpufusion.parallel.sharding import (
         make_sharded_whitebox_step,
-        pad_batch_to_multiple,
+        prepare_whitebox_batch,
     )
 
-    n = inputs.shape[0]
-    which = sorted(set(range(n)) if not which_adv else set(which_adv))
-    idx = jnp.asarray(which)
-    sub = inputs[idx]
-    targets = (jnp.broadcast_to(target_img, sub.shape)
-               if target_img.shape[0] == 1 else target_img[idx])
-    data = mesh.shape["data"]
-    sub_p, n_real = pad_batch_to_multiple(sub, data)
-    targets_p, _ = pad_batch_to_multiple(targets, data)
+    idx, sub_p, targets_p, n_real = prepare_whitebox_batch(
+        inputs, target_img, which_adv, mesh)
 
     step, init, place_batch = make_sharded_whitebox_step(pipeline, config, mesh)
     imgs, tgts = place_batch(sub_p, targets_p)
     with mesh:
         state = init(imgs, tgts)
-
-    import re
 
     os.makedirs(checkpoint_dir, exist_ok=True)
     start = 0
@@ -149,13 +147,21 @@ def run_whitebox_sharded_resumable(
         (p for p in glob.glob(os.path.join(checkpoint_dir, "step_*"))
          if re.fullmatch(r"step_\d+", os.path.basename(p))),
         key=lambda p: int(p.rsplit("_", 1)[1]), reverse=True)
+    errors = []
     for cand in candidates:
         try:
             state = restore_checkpoint(cand, state)
             start = int(cand.rsplit("_", 1)[1])
             break
-        except Exception:  # partial/corrupt save: fall back to the previous
-            continue
+        except Exception as e:  # partial save: fall back to the previous
+            errors.append(f"{os.path.basename(cand)}: {e}")
+            print(f"[attack_state] WARNING: could not restore {cand}: {e}")
+    if candidates and start == 0 and errors:
+        raise RuntimeError(
+            f"{checkpoint_dir} holds {len(candidates)} checkpoint(s) but "
+            f"none restored (wrong batch/size/config?): {errors[:2]} — "
+            "refusing to restart from 0 (the first new save would prune "
+            "them); clear the directory to start over")
 
     losses = []
     with mesh:

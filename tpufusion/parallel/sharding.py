@@ -336,6 +336,26 @@ def make_sharded_patch_train_step(pipeline, config, mesh: Mesh):
     return step, place_batch
 
 
+def prepare_whitebox_batch(inputs, target_img, which_adv, mesh: Mesh):
+    """Shared preamble of the driver-level sharded whitebox runners:
+    which_adv selection, per-image/shared target resolution, pad to the
+    ``data`` axis.  Returns ``(idx, sub_p, targets_p, n_real)``."""
+    import jax.numpy as jnp
+
+    n = inputs.shape[0]
+    which = sorted(set(range(n)) if not which_adv else set(which_adv))
+    idx = jnp.asarray(which)
+    sub = inputs[idx]
+    # per-image targets select the same rows (white_box_patch paste targets);
+    # a single shared target broadcasts across the selection
+    targets = (jnp.broadcast_to(target_img, sub.shape)
+               if target_img.shape[0] == 1 else target_img[idx])
+    data = mesh.shape["data"]
+    sub_p, n_real = pad_batch_to_multiple(sub, data)
+    targets_p, _ = pad_batch_to_multiple(targets, data)
+    return idx, sub_p, targets_p, n_real
+
+
 def run_whitebox_sharded(pipeline, inputs, target_img, config, which_adv,
                          mesh: Mesh):
     """Driver-level DP white-box attack: the semantics of
@@ -351,18 +371,8 @@ def run_whitebox_sharded(pipeline, inputs, target_img, config, which_adv,
     ``run_whitebox``)."""
     import jax.numpy as jnp
 
-    n = inputs.shape[0]
-    which = sorted(set(range(n)) if not which_adv else set(which_adv))
-    idx = jnp.asarray(which)
-    sub = inputs[idx]
-    # per-image targets select the same rows (white_box_patch paste targets);
-    # a single shared target broadcasts across the selection
-    targets = (jnp.broadcast_to(target_img, sub.shape)
-               if target_img.shape[0] == 1 else target_img[idx])
-
-    data = mesh.shape["data"]
-    sub_p, n_real = pad_batch_to_multiple(sub, data)
-    targets_p, _ = pad_batch_to_multiple(targets, data)
+    idx, sub_p, targets_p, n_real = prepare_whitebox_batch(
+        inputs, target_img, which_adv, mesh)
 
     step, init, place_batch = make_sharded_whitebox_step(pipeline, config, mesh)
     imgs, tgts = place_batch(sub_p, targets_p)
