@@ -411,6 +411,30 @@ class TestShardedGroupFusionAttack:
             np.testing.assert_allclose(np.asarray(traces[gi]),
                                        np.asarray(ref_trace), rtol=1e-4)
 
+    def test_run_whitebox_sharded_matches_single_device_runner(self, pipeline):
+        """The DP sharded runner must reproduce the single-device
+        ``run_whitebox`` trajectories: per-image gradients are independent
+        and Adam is elementwise, so batch Adam on the summed per-image
+        losses == per-image Adam — the sharded path is semantically the
+        reference attack, not an approximation."""
+        from tpufusion.attacks.whitebox import run_whitebox
+        from tpufusion.parallel import run_whitebox_sharded
+
+        mesh = create_mesh(jax.devices())
+        inputs = jax.random.uniform(jax.random.key(75), (5, 32, 32, 3),
+                                    minval=-1, maxval=1)
+        target = jax.random.uniform(jax.random.key(76), (1, 32, 32, 3),
+                                    minval=-1, maxval=1)
+        cfg = WhiteboxConfig(lr=1e-2, n_iters=3, weights=PRESET_ATTACK_MAIN)
+        adv_s, tr_s = run_whitebox_sharded(pipeline, inputs, target, cfg,
+                                           None, mesh)
+        adv_1, tr_1 = run_whitebox(pipeline, inputs, target, cfg)
+        np.testing.assert_allclose(np.asarray(adv_s), np.asarray(adv_1),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(tr_s),
+                                   np.asarray(tr_1["total"]),
+                                   rtol=1e-3, atol=1e-4)
+
     def test_run_whitebox_sharded_which_adv_subset(self, pipeline):
         """The driver-level sharded whitebox honours which_adv: only the
         selected rows are perturbed, the rest return untouched — with a
