@@ -135,6 +135,38 @@ class TestHierarchy:
         # even-blend fallback stays within the children's hull
         assert bool(jnp.all(out >= -1e-6)) and bool(jnp.all(out <= 1 + 1e-6))
 
+    def test_torch_ingestion_unchained_stack_falls_back(self, tmp_path,
+                                                        capsys):
+        """ADVICE r3: a checkpoint whose 2-D weights do NOT form one chained
+        MLP (e.g. parallel gate/value heads) must fall back to the even
+        blend with a clear report entry, not die in a jit matmul."""
+        import json
+
+        import torch
+
+        d = 8
+        blender = HierarchyBlender("church", [d], policy=FP32)
+        # two parallel heads: 3d->16 and 3d->d — 16 != 3d breaks the chain
+        sd = {
+            "gate.weight": torch.randn(16, 3 * d), "gate.bias": torch.zeros(16),
+            "value.weight": torch.randn(d, 3 * d), "value.bias": torch.zeros(d),
+        }
+        for node in blender.internal_nodes:
+            torch.save(sd, tmp_path / f"{node}.pt")
+        manifest = tmp_path / "w.json"
+        manifest.write_text(json.dumps(
+            {node: f"{node}.pt" for node in blender.internal_nodes}))
+        params = blender.load_fusion_nets(str(manifest))
+        out_txt = capsys.readouterr().out
+        assert "chained" in out_txt
+        rep = blender.load_report["nodes"]["all"]
+        assert rep["chained"] is False and "mismatch" in rep
+        lo, hi = (jnp.zeros((1, d)),), (jnp.ones((1, d)),)
+        s_dict = {p: lo for p in get_all_active_parts(blender.tree)}
+        s_dict["body"] = hi
+        out = jax.jit(lambda sd_: blender.forward(params, sd_))(s_dict)[0]
+        np.testing.assert_allclose(np.asarray(out), 0.5, atol=1e-6)
+
 
 class TestDrawer:
     def test_seed_to_z_deterministic(self, drawer):

@@ -129,22 +129,20 @@ def _explicit_dests(parser: argparse.ArgumentParser, argv) -> set:
     and argparse's unambiguous prefix abbreviations.
     """
     argv = list(sys.argv[1:] if argv is None else argv)
-    opts = {}
-    for action in parser._actions:
-        for s in action.option_strings:
-            opts[s] = action.dest
-    seen = set()
-    for tok in argv:
-        if not tok.startswith("--"):
-            continue
-        name = tok.split("=", 1)[0]
-        if name in opts:
-            seen.add(opts[name])
-            continue
-        matches = {d for s, d in opts.items() if s.startswith(name)}
-        if len(matches) == 1:  # unambiguous abbreviation
-            seen.add(next(iter(matches)))
-    return seen
+    # Sentinel-default re-parse (ADVICE r3): temporarily swap every action's
+    # default for a unique sentinel and let argparse itself decide which
+    # dests the command line set — this inherits argparse's exact handling
+    # of the '--' separator, prefix abbreviation, and '--flag=value'.
+    sentinel = object()
+    saved = [(a, a.default) for a in parser._actions]
+    try:
+        for a, _ in saved:
+            a.default = sentinel
+        ns, _ = parser.parse_known_args(argv)
+    finally:
+        for a, d in saved:
+            a.default = d
+    return {d for d, v in vars(ns).items() if v is not sentinel}
 
 
 def main(argv=None) -> int:

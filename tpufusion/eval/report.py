@@ -7,8 +7,9 @@ with duplicated column groups
   + ['vg_spati']*(N+1) + ['vg_arith']*(N+1)
   + ['ssmi_spati']*(N+1) + ['ssmi_arith']*(N+1)
 
-and writes ``new_mask.xlsx``.  This environment has no xlsx writer
-(openpyxl absent), so ``save`` emits CSV always and xlsx when possible.
+and writes ``new_mask.xlsx``.  openpyxl is absent in this environment, so
+``save`` emits true xlsx via the stdlib zip+XML writer
+(``tpufusion.io.xlsx``) — the reference artifact name stays real.
 """
 
 from __future__ import annotations
@@ -60,16 +61,18 @@ class ResultsTable:
         return pd.DataFrame(self.rows, columns=self.columns)
 
     def save(self, path: str) -> str:
-        """Write the table; ``path`` may end in .xlsx (reference name) — falls
-        back to CSV beside it when no xlsx engine exists.  Returns the path
-        actually written."""
-        base, ext = os.path.splitext(path)
+        """Write the table; ``path`` may end in .xlsx (reference name,
+        `interpolation.py:1451`) — pandas/openpyxl when available, else the
+        stdlib zip+XML writer.  Returns the path actually written."""
+        ext = os.path.splitext(path)[1]
         if ext == ".xlsx":
             try:
                 self.to_dataframe().to_excel(path, index=False)
-                return path
             except Exception:
-                path = base + ".csv"
+                from tpufusion.io.xlsx import write_xlsx
+
+                write_xlsx(path, self.columns, self.rows)
+            return path
         if _HAS_PANDAS:
             self.to_dataframe().to_csv(path, index=False)
         else:  # stdlib fallback

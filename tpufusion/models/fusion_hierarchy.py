@@ -259,6 +259,25 @@ class HierarchyBlender:
                 f"{path}: no linear layers found in the torch state dict "
                 f"(keys: {sorted(state)[:8]}...) — cannot ingest as a "
                 "fusion net")
+        # the ingested stack is assumed to be ONE chained MLP; a checkpoint
+        # with parallel heads / extra 2-D params would only surface as an
+        # opaque matmul shape error inside jit at blend time (ADVICE r3) —
+        # validate the chain here and fall back to the even blend instead.
+        for j in range(len(layers) - 1):
+            w_out = int(layers[j]["kernel"].shape[1])
+            w_in = int(layers[j + 1]["kernel"].shape[0])
+            if w_out != w_in:
+                rep = dict(
+                    format="torch", n_linear=len(layers), chained=False,
+                    mismatch=f"layer {j} out={w_out} vs layer {j + 1} "
+                             f"in={w_in}",
+                    layers_served="0 (even-blend fallback: the 2-D weights "
+                                  "in this checkpoint do not form one "
+                                  "chained MLP)")
+                print(f"[fusion_hierarchy] WARNING: {path}: {rep['mismatch']}"
+                      " — not a single chained MLP; using even blend for "
+                      "this node")
+                return {"__even_blend__": True}, rep
         fin = int(layers[0]["kernel"].shape[0])
         fout = int(layers[-1]["kernel"].shape[1])
         served = [d for d in set(self.style_dims)
@@ -301,6 +320,11 @@ class HierarchyBlender:
             right = walk(node.children[1])
             base = s_dict[name]
             p = params[name]
+            if isinstance(p, dict) and "__even_blend__" in p:
+                return tuple(
+                    (0.5 * (a.astype(jnp.float32) + b_.astype(jnp.float32))
+                     ).astype(a.dtype)
+                    for a, b_ in zip(left, right))
             if isinstance(p, dict) and "__torch_mlp__" in p:
                 return self._apply_torch_mlp(p["__torch_mlp__"], left, right, base)
             return self.net.apply(p, left, right, base)

@@ -143,11 +143,29 @@ def _c3s2d_bwd(res, g):
 conv3x3_s2d.defvjp(_c3s2d_fwd, _c3s2d_bwd)
 
 
+# Read once at import: _use_s2d runs at TRACE time inside jitted programs,
+# so mutating the env var mid-process would silently keep whichever path a
+# shape was first traced with (ADVICE r3).  Set TPUFUSION_S2D_TAIL before
+# importing tpufusion, or call set_s2d_tail() (clears jit caches).
+_S2D_TAIL_ENABLED = os.environ.get(
+    "TPUFUSION_S2D_TAIL", "0").lower() in ("1", "on", "true")
+
+
+def set_s2d_tail(enabled: bool) -> None:
+    """Toggle the space-to-depth tail-conv path for NEW traces.
+
+    Clears jax's jit caches so already-traced shapes re-trace with the new
+    setting (the persistent compile cache keys on the emitted HLO, which
+    differs between the two paths, so it stays coherent)."""
+    global _S2D_TAIL_ENABLED
+    _S2D_TAIL_ENABLED = bool(enabled)
+    jax.clear_caches()
+
+
 def _use_s2d(h: int, w: int, kh: int, cin: int) -> bool:
     # explicit opt-in only (measured default OFF: see module comment) —
     # anything else, incl. 'false'/'OFF'/typos, keeps the default path
-    if os.environ.get("TPUFUSION_S2D_TAIL", "0").lower() not in ("1", "on",
-                                                                 "true"):
+    if not _S2D_TAIL_ENABLED:
         return False
     return (kh == 3 and cin <= 32 and min(h, w) >= S2D_MIN_RES
             and h % 2 == 0 and w % 2 == 0)

@@ -131,7 +131,8 @@ class FusionPipeline:
 
     @classmethod
     def load(cls, directory: str, *, policy: Optional[Policy] = None,
-             remat: bool = False) -> "FusionPipeline":
+             remat: bool = False,
+             remat_min_res: Optional[int] = None) -> "FusionPipeline":
         """Rebuild a pipeline from ``save`` output.
 
         Constructs the flax modules WITHOUT running their random inits (load
@@ -150,7 +151,7 @@ class FusionPipeline:
 
         generator = Generator(
             size=meta["size"], channel_multiplier=meta["channel_multiplier"],
-            policy=policy, remat=remat,
+            policy=policy, remat=remat, remat_min_res=remat_min_res,
         )
         gen_vars = load_pytree(os.path.join(directory, "generator.npz"))
         blender = HierarchyBlender(
