@@ -358,3 +358,54 @@ class TestWhiteboxStepwiseVmapped:
         adv, _ = run_whitebox(pipeline, inputs, target, cfg, which_adv=[0])
         assert not np.allclose(np.asarray(adv[0]), np.asarray(inputs[0]))
         assert np.allclose(np.asarray(adv[1]), np.asarray(inputs[1]))
+
+
+class TestLegacyOptimize:
+    """Legacy LPIPS-net white-box variants (`attack_main2.py:674-762`) —
+    VERDICT r3 ask #9."""
+
+    def _run(self, pipeline, variant, n_iters=6, every=2):
+        from tpufusion.attacks.whitebox import (
+            LegacyOptimizeConfig,
+            make_legacy_optimize,
+        )
+        from tpufusion.models.lpips import create_lpips
+
+        lp, lp_vars = create_lpips(jax.random.key(7), image_size=8)
+        cfg = LegacyOptimizeConfig(lr=0.01, n_iters=n_iters, variant=variant,
+                                   snapshot_every=every)
+        attack = make_legacy_optimize(pipeline, lp, lp_vars, cfg)
+        img = jnp.asarray(
+            np.random.RandomState(1).rand(1, 32, 32, 3) * 2 - 1, jnp.float32)
+        target = jnp.asarray(
+            np.random.RandomState(2).rand(1, 32, 32, 3) * 2 - 1, jnp.float32)
+        return attack(img, target), img
+
+    def test_optimize_descends_and_snapshots(self, pipeline):
+        (adv, trace, snaps), img = self._run(pipeline, "optimize")
+        assert snaps.shape == (3, 1, 32, 32, 3)
+        assert trace["total"].shape == (6,)
+        assert bool(jnp.isfinite(trace["total"]).all())
+        assert float(trace["total"][-1]) < float(trace["total"][0])
+        assert set(trace) == {"img_org", "lpips_rec", "latent", "img_rec",
+                              "total"}
+        # snapshot k is the state after (k+1)*every steps; last == adv
+        np.testing.assert_allclose(np.asarray(snaps[-1]), np.asarray(adv),
+                                   atol=1e-6)
+        assert float(jnp.max(jnp.abs(adv - img))) > 0.0
+
+    def test_optimize_copy_variant(self, pipeline):
+        (adv, trace, snaps), img = self._run(pipeline, "optimize_copy")
+        assert bool(jnp.isfinite(trace["total"]).all())
+        assert float(trace["total"][-1]) < float(trace["total"][0])
+
+    def test_remainder_iters(self, pipeline):
+        (adv, trace, snaps), _ = self._run(pipeline, "optimize", n_iters=5,
+                                           every=2)
+        assert snaps.shape[0] == 2 and trace["total"].shape == (5,)
+
+    def test_bad_variant_raises(self, pipeline):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            self._run(pipeline, "nope")

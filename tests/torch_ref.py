@@ -563,3 +563,83 @@ class DiscriminatorT(nn.Module):
         x = self.final_conv(x)
         x = x.view(n, -1)
         return self.out(self.final_fc(x))
+
+
+# ---------------------------------------------------------------------------
+# LPIPS('vgg') oracle — independent torch build of the public Zhang et al.
+# 2018 architecture (what `lpips.LPIPS(net='vgg')` computes; the reference
+# uses it in the legacy optimize() variants, `attack_main2.py:687,735`).
+# ---------------------------------------------------------------------------
+
+# torchvision vgg16().features conv indices and channels, through relu5_3
+_LPIPS_CONV_IDX = (0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28)
+_LPIPS_CONV_CH = (64, 64, 128, 128, 256, 256, 256, 512, 512, 512, 512, 512,
+                  512)
+_LPIPS_POOL_BEFORE = (5, 10, 17, 24)  # maxpool precedes these conv indices
+_LPIPS_TAP_IDX = (2, 7, 14, 21, 28)  # relu after these convs is tapped
+_LPIPS_TAP_CH = (64, 128, 256, 512, 512)
+# official slice boundaries: conv idx -> (slice number) for state-dict keys
+_LPIPS_SLICE_OF = {0: 1, 2: 1, 5: 2, 7: 2, 10: 3, 12: 3, 14: 3,
+                   17: 4, 19: 4, 21: 4, 24: 5, 26: 5, 28: 5}
+
+
+class LPIPST(nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.convs = nn.ModuleDict()
+        cin = 3
+        for idx, ch in zip(_LPIPS_CONV_IDX, _LPIPS_CONV_CH):
+            self.convs[str(idx)] = nn.Conv2d(cin, ch, 3, padding=1)
+            cin = ch
+        self.lins = nn.ModuleList(
+            [nn.Conv2d(ch, 1, 1, bias=False) for ch in _LPIPS_TAP_CH])
+        self.register_buffer(
+            "shift", torch.tensor([-0.030, -0.088, -0.188]).view(1, 3, 1, 1))
+        self.register_buffer(
+            "scale", torch.tensor([0.458, 0.448, 0.450]).view(1, 3, 1, 1))
+
+    def _taps(self, x):
+        out = (x - self.shift) / self.scale
+        taps = []
+        for idx in _LPIPS_CONV_IDX:
+            if idx in _LPIPS_POOL_BEFORE:
+                out = F.max_pool2d(out, 2, 2)
+            out = F.relu(self.convs[str(idx)](out))
+            if idx in _LPIPS_TAP_IDX:
+                taps.append(out)
+        return taps
+
+    @staticmethod
+    def _unit_norm(t, eps=1e-10):
+        return t / (torch.sqrt(torch.sum(t ** 2, dim=1, keepdim=True)) + eps)
+
+    def forward(self, x0, x1):
+        t0, t1 = self._taps(x0), self._taps(x1)
+        total = 0.0
+        for a, b, lin in zip(t0, t1, self.lins):
+            d = (self._unit_norm(a) - self._unit_norm(b)) ** 2
+            total = total + lin(d).mean(dim=(1, 2, 3))
+        return total
+
+    def state_dict_official(self):
+        """Emit the official `lpips.LPIPS` state-dict key layout
+        (net.slice{n}.{idx}.weight + lin{k}.model.1.weight)."""
+        out = {}
+        for idx in _LPIPS_CONV_IDX:
+            s = _LPIPS_SLICE_OF[idx]
+            conv = self.convs[str(idx)]
+            out[f"net.slice{s}.{idx}.weight"] = conv.weight.detach().numpy()
+            out[f"net.slice{s}.{idx}.bias"] = conv.bias.detach().numpy()
+        for k, lin in enumerate(self.lins):
+            out[f"lin{k}.model.1.weight"] = lin.weight.detach().numpy()
+        return out
+
+    def backbone_features_dict(self):
+        """Emit a torchvision ``vgg16().features`` state dict (lin-only
+        checkpoint path of the converter)."""
+        out = {}
+        for idx in _LPIPS_CONV_IDX:
+            conv = self.convs[str(idx)]
+            out[f"{idx}.weight"] = conv.weight.detach().numpy()
+            out[f"{idx}.bias"] = conv.bias.detach().numpy()
+        return out

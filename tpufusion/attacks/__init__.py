@@ -1,10 +1,12 @@
 from tpufusion.attacks.pgd import PGDConfig, fgsm, make_pgd
 from tpufusion.attacks.cw import CWConfig, make_cw
 from tpufusion.attacks.whitebox import (
+    LegacyOptimizeConfig,
     LossWeights,
     WhiteboxConfig,
     PRESET_ATTACK_MAIN,
     PRESET_INTERPOLATION,
+    make_legacy_optimize,
     make_whitebox_attack,
 )
 from tpufusion.attacks.patch import (

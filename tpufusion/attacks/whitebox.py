@@ -309,6 +309,114 @@ def vmap_whitebox_stepwise(pipeline: FusionPipeline, config: WhiteboxConfig):
     return attack
 
 
+def _sum_mse(a, b):
+    """``nn.MSELoss(reduction='sum')`` — the LEGACY variants use sum, not
+    mean (`attack_main2.py:684`)."""
+    d = a.astype(jnp.float32) - b.astype(jnp.float32)
+    return jnp.sum(d * d)
+
+
+@dataclasses.dataclass(frozen=True)
+class LegacyOptimizeConfig:
+    """Reference ``optimize``/``optimize_copy`` (`attack_main2.py:674-762`):
+    Adam(lr=0.01) for 1000 iters on the pixels, LPIPS-net perceptual term,
+    sum-reduction MSEs, input snapshot appended every 50 iters."""
+
+    lr: float = 0.01
+    n_iters: int = 1000
+    variant: str = "optimize"  # or "optimize_copy"
+    snapshot_every: int = 50
+
+
+def make_legacy_optimize(pipeline: FusionPipeline, lpips_model, lpips_vars,
+                         config: LegacyOptimizeConfig):
+    """Build the legacy LPIPS-net white-box optimizer — VERDICT r3 ask #9.
+
+    Loss (``optimize``, `attack_main2.py:697-708`):
+        sumMSE(img_org, x) + LPIPS(pool(target), pool(dec(enc(pool(x)))))
+      + sumMSE(latent_target, enc(pool(x))) + sumMSE(target, dec(...))
+    ``optimize_copy`` (`:723-753`) scores LPIPS at FULL resolution and the
+    reconstruction against the target's own reconstruction ``target_rec``.
+
+    Returns ``attack(img, target_img) -> (adv, trace, snapshots)`` where
+    ``snapshots`` is (n_iters // snapshot_every, *img.shape) — the frames
+    the reference concatenates into ``optimize.png`` (`:719-720`).  The
+    whole loop runs as nested ``lax.scan``s (outer = snapshot cadence), so
+    snapshots come out of ONE compiled program instead of 20 host syncs.
+    """
+    if config.variant not in ("optimize", "optimize_copy"):
+        raise ValueError(f"unknown legacy variant {config.variant!r}")
+    enc = pipeline.encode_fn()
+    dec = pipeline.decode_fn()
+    factor = pipeline.pool_factor
+    opt = optax.adam(config.lr)
+    copy_variant = config.variant == "optimize_copy"
+    every = int(config.snapshot_every)
+    n_snap, rem = divmod(config.n_iters, every)
+
+    def loss_fn(params, x, ref):
+        r_x = avg_pool(x, factor)
+        latent_pred = enc(params["enc"], r_x)
+        img_rec = dec(params["gen"], latent_pred)
+        if copy_variant:
+            l_lpips = lpips_model.apply(params["lpips"], ref["target"],
+                                        img_rec)
+            l_img_rec = _sum_mse(ref["target_rec"], img_rec)
+        else:
+            l_lpips = lpips_model.apply(params["lpips"], ref["r_target"],
+                                        avg_pool(img_rec, factor))
+            l_img_rec = _sum_mse(ref["target"], img_rec)
+        terms = dict(
+            img_org=_sum_mse(ref["img_org"], x),
+            lpips_rec=jnp.sum(l_lpips),
+            latent=_sum_mse(ref["latent_target"], latent_pred),
+            img_rec=l_img_rec,
+        )
+        return sum(terms.values()), terms
+
+    @jax.jit
+    def attack_impl(params, img, target_img):
+        r_t = avg_pool(target_img, factor)
+        latent_target = enc(params["enc"], r_t)
+        ref = jax.lax.stop_gradient(dict(
+            img_org=img, target=target_img, r_target=r_t,
+            latent_target=latent_target,
+            target_rec=dec(params["gen"], latent_target),
+        ))
+
+        def step(carry, _):
+            x, opt_state = carry
+            (loss, terms), g = jax.value_and_grad(
+                loss_fn, argnums=1, has_aux=True)(params, x, ref)
+            updates, opt_state = opt.update(g, opt_state)
+            x = optax.apply_updates(x, updates)
+            terms["total"] = loss
+            return (x, opt_state), terms
+
+        def chunk(carry, _):
+            carry, traces = jax.lax.scan(step, carry, None, length=every)
+            return carry, (carry[0], traces)
+
+        carry = (img, opt.init(img))
+        carry, (snaps, traces) = jax.lax.scan(
+            chunk, carry, None, length=n_snap)
+        traces = jax.tree.map(
+            lambda t: t.reshape((n_snap * every,) + t.shape[2:]), traces)
+        if rem:
+            carry, tail = jax.lax.scan(step, carry, None, length=rem)
+            traces = jax.tree.map(
+                lambda a, b: jnp.concatenate([a, b]), traces, tail)
+        return carry[0], traces, snaps
+
+    params = dict(_model_params(pipeline), lpips=lpips_vars)
+
+    def attack(img, target_img):
+        return attack_impl(params, img, target_img)
+
+    attack.jitted = attack_impl
+    return attack
+
+
 def run_whitebox(
     pipeline: FusionPipeline,
     inputs,
