@@ -338,3 +338,114 @@ class TestLPIPSParity:
                         jnp.float32)
         d = jax.jit(m.apply)(variables, x, x)
         np.testing.assert_allclose(np.asarray(d), 0.0, atol=1e-6)
+
+
+class TestViTParity:
+    """VERDICT r3 ask #7: the cars ViT path, natively implemented and
+    converter-cross-validated like every other model."""
+
+    def test_converter_matches_torch(self):
+        from tests.torch_ref import ViTT
+        from tpufusion.models.vit import ViTClassifier, convert_vit_checkpoint
+
+        torch.manual_seed(31)
+        t = ViTT(5, image_size=32, patch=8, hidden=32, layers=2, heads=4,
+                 mlp=64).eval()
+        x = np.tanh(np.random.RandomState(9).randn(2, 3, 32, 32)
+                    ).astype(np.float32)
+        with torch.no_grad():
+            ref = t(torch.from_numpy(x)).numpy()
+
+        model = ViTClassifier(num_labels=5, image_size=32, patch_size=8,
+                              hidden_size=32, num_layers=2, num_heads=4,
+                              intermediate_size=64, policy=FP32)
+        variables = convert_vit_checkpoint(t.state_dict_hf(), model)
+        got = jax.jit(model.apply)(
+            variables, jnp.asarray(np.transpose(x, (0, 2, 3, 1))))
+        np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-4,
+                                   atol=1e-4)
+
+    def test_hf_flax_adapter_matches_native(self):
+        """The transformers Flax adapter (the previous serving path) and the
+        native model agree when fed the same HF-layout weights."""
+        from tests.torch_ref import ViTT
+        from tpufusion.models.classifiers import create_vit_classifier
+        from tpufusion.models.vit import ViTClassifier, convert_vit_checkpoint
+
+        torch.manual_seed(32)
+        t = ViTT(3, image_size=32, patch=8, hidden=32, layers=2, heads=4,
+                 mlp=64).eval()
+        model = ViTClassifier(num_labels=3, image_size=32, patch_size=8,
+                              hidden_size=32, num_layers=2, num_heads=4,
+                              intermediate_size=64, policy=FP32)
+        variables = convert_vit_checkpoint(t.state_dict_hf(), model)
+
+        try:
+            logits_fn, params = create_vit_classifier(
+                3, image_size=32, patch_size=8, hidden_size=32, num_layers=2,
+                num_heads=12 // 3, intermediate_size=64, backend="flax_hf")
+        except Exception as e:  # transformers quirks are env-dependent
+            pytest.skip(f"HF Flax ViT unavailable: {e}")
+        import flax
+
+        hf = flax.core.unfreeze(params) if hasattr(params, "unfreeze") else params
+
+        def to_hf(p):
+            v = p["params"]
+            emb = hf["vit"]["embeddings"]
+            emb["cls_token"] = np.asarray(v["cls_token"])
+            emb["position_embeddings"] = np.asarray(v["pos_emb"])
+            emb["patch_embeddings"]["projection"]["kernel"] = np.asarray(
+                v["patch_proj"]["kernel"])
+            emb["patch_embeddings"]["projection"]["bias"] = np.asarray(
+                v["patch_proj"]["bias"])
+            hf["vit"]["layernorm"]["scale"] = np.asarray(
+                v["ln_final"]["scale"])
+            hf["vit"]["layernorm"]["bias"] = np.asarray(v["ln_final"]["bias"])
+            hf["classifier"]["kernel"] = np.asarray(v["head"]["kernel"])
+            hf["classifier"]["bias"] = np.asarray(v["head"]["bias"])
+            pairs = dict(
+                query=("attention", "attention", "query"),
+                key=("attention", "attention", "key"),
+                value=("attention", "attention", "value"),
+                attn_out=("attention", "output", "dense"),
+                mlp_in=("intermediate", "dense"),
+                mlp_out=("output", "dense"),
+                ln_before=("layernorm_before",),
+                ln_after=("layernorm_after",),
+            )
+            nh, dh = 4, 8
+            for i in range(2):
+                blk = v[f"block{i}"]
+                layer = hf["vit"]["encoder"]["layer"][str(i)]
+                for ours, path in pairs.items():
+                    dst = layer
+                    for k in path:
+                        dst = dst[k]
+                    src = blk[ours]
+                    if "kernel" in dst:
+                        kern = np.asarray(src["kernel"])
+                        bias = np.asarray(src["bias"])
+                        # HF Flax splits attention proj into (H, nh, dh)
+                        if dst["kernel"].ndim == 3:
+                            kern = kern.reshape(kern.shape[0], nh, dh)
+                            bias = bias.reshape(nh, dh)
+                        elif dst["kernel"].ndim == 4:  # attn out (nh, dh, H)
+                            kern = kern.reshape(nh, dh, kern.shape[-1])
+                        dst["kernel"] = kern
+                        dst["bias"] = bias
+                    else:
+                        dst["scale"] = np.asarray(src["scale"])
+                        dst["bias"] = np.asarray(src["bias"])
+            return hf
+
+        hf = to_hf(variables)
+        x = np.tanh(np.random.RandomState(10).randn(2, 32, 32, 3)
+                    ).astype(np.float32)
+        a = logits_fn(hf, jnp.asarray(x))
+        b = jax.jit(ViTClassifier(
+            num_labels=3, image_size=32, patch_size=8, hidden_size=32,
+            num_layers=2, num_heads=4, intermediate_size=64,
+            policy=FP32).apply)(variables, jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                                   atol=1e-4)

@@ -643,3 +643,89 @@ class LPIPST(nn.Module):
             out[f"{idx}.weight"] = conv.weight.detach().numpy()
             out[f"{idx}.bias"] = conv.bias.detach().numpy()
         return out
+
+
+# ---------------------------------------------------------------------------
+# ViT-B/16 classifier oracle — the cars model's architecture (HF
+# ViTForImageClassification; reference `interpolation.py:1294-1295`).
+# ---------------------------------------------------------------------------
+
+
+class ViTBlockT(nn.Module):
+    def __init__(self, hidden, heads, mlp):
+        super().__init__()
+        self.heads = heads
+        self.dh = hidden // heads
+        self.ln_before = nn.LayerNorm(hidden, eps=1e-12)
+        self.q = nn.Linear(hidden, hidden)
+        self.k = nn.Linear(hidden, hidden)
+        self.v = nn.Linear(hidden, hidden)
+        self.attn_out = nn.Linear(hidden, hidden)
+        self.ln_after = nn.LayerNorm(hidden, eps=1e-12)
+        self.mlp_in = nn.Linear(hidden, mlp)
+        self.mlp_out = nn.Linear(mlp, hidden)
+
+    def forward(self, x):
+        import math
+
+        B, N, H = x.shape
+        h = self.ln_before(x)
+        q = self.q(h).view(B, N, self.heads, self.dh).transpose(1, 2)
+        k = self.k(h).view(B, N, self.heads, self.dh).transpose(1, 2)
+        v = self.v(h).view(B, N, self.heads, self.dh).transpose(1, 2)
+        attn = torch.softmax(q @ k.transpose(-1, -2) / math.sqrt(self.dh), -1)
+        ctx = (attn @ v).transpose(1, 2).reshape(B, N, H)
+        x = x + self.attn_out(ctx)
+        h = self.ln_after(x)
+        return x + self.mlp_out(F.gelu(self.mlp_in(h)))
+
+
+class ViTT(nn.Module):
+    def __init__(self, num_labels, image_size=224, patch=16, hidden=768,
+                 layers=12, heads=12, mlp=3072):
+        super().__init__()
+        self.patch_proj = nn.Conv2d(3, hidden, patch, stride=patch)
+        n_patches = (image_size // patch) ** 2
+        self.cls_token = nn.Parameter(torch.zeros(1, 1, hidden))
+        self.pos_emb = nn.Parameter(torch.randn(1, n_patches + 1, hidden) * 0.02)
+        self.blocks = nn.ModuleList(
+            [ViTBlockT(hidden, heads, mlp) for _ in range(layers)])
+        self.ln_final = nn.LayerNorm(hidden, eps=1e-12)
+        self.head = nn.Linear(hidden, num_labels)
+
+    def forward(self, x):  # NCHW
+        B = x.shape[0]
+        x = self.patch_proj(x).flatten(2).transpose(1, 2)  # (B, N, H)
+        x = torch.cat([self.cls_token.expand(B, -1, -1), x], dim=1)
+        x = x + self.pos_emb
+        for b in self.blocks:
+            x = b(x)
+        return self.head(self.ln_final(x)[:, 0])
+
+    def state_dict_hf(self):
+        """Emit the HF ViTForImageClassification torch key layout."""
+        out = {
+            "vit.embeddings.cls_token": self.cls_token.detach().numpy(),
+            "vit.embeddings.position_embeddings": self.pos_emb.detach().numpy(),
+            "vit.embeddings.patch_embeddings.projection.weight":
+                self.patch_proj.weight.detach().numpy(),
+            "vit.embeddings.patch_embeddings.projection.bias":
+                self.patch_proj.bias.detach().numpy(),
+            "vit.layernorm.weight": self.ln_final.weight.detach().numpy(),
+            "vit.layernorm.bias": self.ln_final.bias.detach().numpy(),
+            "classifier.weight": self.head.weight.detach().numpy(),
+            "classifier.bias": self.head.bias.detach().numpy(),
+        }
+        names = dict(
+            q="attention.attention.query", k="attention.attention.key",
+            v="attention.attention.value", attn_out="attention.output.dense",
+            mlp_in="intermediate.dense", mlp_out="output.dense",
+            ln_before="layernorm_before", ln_after="layernorm_after")
+        for i, b in enumerate(self.blocks):
+            for attr, hf in names.items():
+                mod = getattr(b, attr)
+                out[f"vit.encoder.layer.{i}.{hf}.weight"] = \
+                    mod.weight.detach().numpy()
+                out[f"vit.encoder.layer.{i}.{hf}.bias"] = \
+                    mod.bias.detach().numpy()
+        return out

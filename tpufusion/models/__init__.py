@@ -1,6 +1,7 @@
 from tpufusion.models.stylegan2 import Generator, GeneratorOutput, create_generator
 from tpufusion.models.vgg16 import VGG16, create_vgg16, perceptual_distance
 from tpufusion.models.lpips import LPIPS, create_lpips, load_torch_lpips
+from tpufusion.models.vit import ViTClassifier, convert_vit_checkpoint, create_vit
 from tpufusion.models.e4e import Encoder4Editing, create_encoder, get_latents
 from tpufusion.models.fusion_hierarchy import (
     HierarchyBlender,
