@@ -409,3 +409,48 @@ class TestLegacyOptimize:
 
         with _pytest.raises(ValueError):
             self._run(pipeline, "nope")
+
+
+class TestWhiteboxSnapshots:
+    """Mid-run observability (VERDICT r3 ask #5): the reference's
+    ``args.save_img`` dumps every 5 iters (`attack_main2.py:657-661`)."""
+
+    def test_scan_mode_snapshots(self, pipeline):
+        from tpufusion.attacks.whitebox import WhiteboxConfig, run_whitebox
+
+        inputs = jnp.asarray(
+            np.random.RandomState(3).rand(2, 32, 32, 3) * 2 - 1, jnp.float32)
+        target = inputs[:1] * 0.5
+        cfg = WhiteboxConfig(n_iters=5, snapshot_every=2, execution="scan")
+        adv, trace, snaps = run_whitebox(pipeline, inputs, target, cfg)
+        assert set(snaps) == {"adv_input", "rec"}
+        assert snaps["adv_input"].shape == (2, 2, 32, 32, 3)  # (K, B, ...)
+        assert snaps["rec"].shape == (2, 2, 32, 32, 3)
+        assert trace["total"].shape == (2, 5)  # remainder iters kept
+        assert bool(jnp.isfinite(snaps["rec"]).all())
+
+    def test_stepwise_matches_scan_snapshots(self, pipeline):
+        from tpufusion.attacks.whitebox import WhiteboxConfig, run_whitebox
+
+        inputs = jnp.asarray(
+            np.random.RandomState(4).rand(2, 32, 32, 3) * 2 - 1, jnp.float32)
+        target = inputs[:1] * 0.5
+        a = run_whitebox(pipeline, inputs, target, WhiteboxConfig(
+            n_iters=4, snapshot_every=2, execution="scan"))
+        b = run_whitebox(pipeline, inputs, target, WhiteboxConfig(
+            n_iters=4, snapshot_every=2, execution="stepwise"))
+        np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(a[2]["adv_input"]),
+                                   np.asarray(b[2]["adv_input"]), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(a[2]["rec"]),
+                                   np.asarray(b[2]["rec"]), atol=1e-4)
+
+    def test_no_snapshot_config_keeps_two_tuple(self, pipeline):
+        from tpufusion.attacks.whitebox import WhiteboxConfig, run_whitebox
+
+        inputs = jnp.asarray(
+            np.random.RandomState(5).rand(2, 32, 32, 3) * 2 - 1, jnp.float32)
+        out = run_whitebox(pipeline, inputs, inputs[:1],
+                           WhiteboxConfig(n_iters=2))
+        assert len(out) == 2

@@ -83,6 +83,13 @@ class WhiteboxConfig:
     # 'scan': whole loop as one compiled program; 'stepwise': one-step program
     # + async host loop (for toolchains that choke on giant modules)
     execution: str = "scan"
+    # When set, the attack also returns mid-run snapshots {adv_input, rec}
+    # taken every K iters — the reference's ``args.save_img`` dumps of
+    # ``adv_input_*_%d.png`` / ``rec_*_%d.png`` (`attack_main2.py:657-661`,
+    # cadence 5).  Snapshots ride out of the scan as extra outputs (one
+    # compiled program, no host syncs); ``rec`` costs one extra enc+dec
+    # forward per snapshot.
+    snapshot_every: int | None = None
 
 
 def default_n_iters(image_size: int) -> int:
@@ -172,6 +179,10 @@ def make_whitebox_attack(pipeline: FusionPipeline, config: WhiteboxConfig):
     ref_fn = _make_ref(pipeline)
     opt = optax.adam(config.lr)
     n_iters = config.n_iters
+    every = config.snapshot_every
+    enc = pipeline.encode_fn()
+    dec = pipeline.decode_fn()
+    factor = pipeline.pool_factor
 
     @jax.jit
     def attack_impl(params, img, target_img):
@@ -187,10 +198,27 @@ def make_whitebox_attack(pipeline: FusionPipeline, config: WhiteboxConfig):
             terms["total"] = loss
             return (x, opt_state), terms
 
-        (adv, _), trace = jax.lax.scan(
-            step, (img, opt.init(img)), None, length=n_iters
-        )
-        return adv, trace
+        carry = (img, opt.init(img))
+        if not every:
+            (adv, _), trace = jax.lax.scan(step, carry, None, length=n_iters)
+            return adv, trace
+
+        n_snap, rem = divmod(n_iters, every)
+
+        def chunk(c, _):
+            c, traces = jax.lax.scan(step, c, None, length=every)
+            x = c[0]
+            rec = dec(params["gen"], enc(params["enc"], avg_pool(x, factor)))
+            return c, (traces, dict(adv_input=x, rec=rec))
+
+        carry, (trace, snaps) = jax.lax.scan(chunk, carry, None, length=n_snap)
+        trace = jax.tree.map(
+            lambda t: t.reshape((n_snap * every,) + t.shape[2:]), trace)
+        if rem:
+            carry, tail = jax.lax.scan(step, carry, None, length=rem)
+            trace = jax.tree.map(
+                lambda a, b: jnp.concatenate([a, b]), trace, tail)
+        return carry[0], trace, snaps
 
     params = _model_params(pipeline)
 
@@ -272,6 +300,12 @@ def vmap_whitebox(pipeline: FusionPipeline, config: WhiteboxConfig):
     def attack_impl(p, imgs, targets):
         if targets.shape[0] == 1:
             targets = jnp.broadcast_to(targets, imgs.shape)
+        if config.snapshot_every:
+            advs, traces, snaps = batched(p, imgs, targets)
+            # (B, K, 1, H, W, C) -> (K, B, H, W, C)
+            snaps = jax.tree.map(
+                lambda s: jnp.swapaxes(s[:, :, 0], 0, 1), snaps)
+            return advs[:, 0], traces, snaps
         advs, traces = batched(p, imgs, targets)
         return advs[:, 0], traces
 
@@ -294,16 +328,28 @@ def vmap_whitebox_stepwise(pipeline: FusionPipeline, config: WhiteboxConfig):
         in_axes=(None, 0, 0),
     ))
     vstep = jax.jit(jax.vmap(step.jitted, in_axes=(None, 0)))
+    every = config.snapshot_every
+    if every:
+        enc, dec, factor = (pipeline.encode_fn(), pipeline.decode_fn(),
+                            pipeline.pool_factor)
+        rec_of = jax.jit(lambda p, x: dec(
+            p["gen"], enc(p["enc"], avg_pool(x, factor))))
 
     def attack(imgs, targets):
         if targets.shape[0] == 1:
             targets = jnp.broadcast_to(targets, imgs.shape)
         state = vinit(params, imgs, targets)
-        traces = []
-        for _ in range(config.n_iters):
+        traces, snaps = [], []
+        for it in range(config.n_iters):
             state, terms = vstep(params, state)
             traces.append(terms)
+            if every and (it + 1) % every == 0:
+                x = state["x"][:, 0]
+                snaps.append(dict(adv_input=x, rec=rec_of(params, x)))
         trace = jax.tree.map(lambda *xs: jnp.stack(xs, axis=1), *traces)
+        if every:
+            return (state["x"][:, 0], trace,
+                    jax.tree.map(lambda *xs: jnp.stack(xs), *snaps))
         return state["x"][:, 0], trace
 
     return attack
@@ -426,7 +472,9 @@ def run_whitebox(
 ):
     """`white_box` of the reference (`attack_main2.py:465-498`): perturb the
     images listed in ``which_adv`` (default: all), keep the rest benign.
-    Returns (adv_inputs, traces)."""
+    Returns ``(adv_inputs, traces)`` — or ``(adv_inputs, traces, snaps)``
+    when ``config.snapshot_every`` is set (snaps leading dim = snapshot
+    index, rows = the attacked subset in ``which_adv`` order)."""
     n = inputs.shape[0]
     which = sorted(set(range(n)) if not which_adv else set(which_adv))
     if config.execution == "stepwise":
@@ -437,5 +485,9 @@ def run_whitebox(
     # chosen indices; attacking all n and masking would waste n/len(which)x)
     idx = jnp.asarray(which)
     sub_targets = target_img if target_img.shape[0] == 1 else target_img[idx]
-    advs_sel, traces = attack(inputs[idx], sub_targets)
+    out = attack(inputs[idx], sub_targets)
+    if config.snapshot_every:
+        advs_sel, traces, snaps = out
+        return inputs.at[idx].set(advs_sel), traces, snaps
+    advs_sel, traces = out
     return inputs.at[idx].set(advs_sel), traces

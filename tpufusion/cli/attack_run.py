@@ -98,6 +98,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "XLA_FLAGS=--xla_force_host_platform_device_count=N "
                         "JAX_PLATFORMS=cpu")
     p.add_argument("--no_save_img", action="store_true")
+    p.add_argument("--snapshot_every", type=int, default=5,
+                   help="white-box image snapshot cadence in iters "
+                        "(0 disables; reference save_img cadence is 5)")
+    p.add_argument("--flush_every", type=int, default=5,
+                   help="artifact npz flush cadence in batches "
+                        "(reference flushes every 5)")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="wrap the experiment loop in a jax profiler trace "
                         "written to DIR (view with tensorboard/xprof)")
@@ -253,6 +259,7 @@ def main(argv=None) -> int:
         train_size=args.train_size, test_size=args.test_size,
         max_num_fusion=args.max_num_fusion,
         hybrid_adv=args.hybrid_adv, save_img=not args.no_save_img,
+        snapshot_every=args.snapshot_every, flush_every=args.flush_every,
         image_size=args.size,
         hybrid_adv_from_existing=bool(args.hybrid_from_dirs),
         hybrid_adv_dirs=tuple(args.hybrid_from_dirs or ()),

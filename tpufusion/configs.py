@@ -105,6 +105,11 @@ class AttackRunConfig:
     use_generate_img: bool = False
     use_existing_data: bool = False
     save_img: bool = True
+    # mid-run observability (VERDICT r3 ask #5): white-box image snapshots
+    # every K iters under save_img (`attack_main2.py:657-661` cadence), and
+    # artifact-store flush every K batches (`attack_main2.py:1096-1100`)
+    snapshot_every: int = 5
+    flush_every: int = 5
 
     # model scale knobs (not in the reference: lets tests/CI shrink models)
     image_size: Optional[int] = None

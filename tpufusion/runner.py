@@ -242,12 +242,19 @@ def dispatch_attack(
         return [apply_patch(inputs, canvas, mask)]
 
     if attack in ("white_box_target", "white_box_patch"):
+        # mid-run snapshots only when there's somewhere to write them
+        # (reference `args.save_img` gate, `attack_main2.py:657`); the
+        # sharded path stays snapshot-free (its program is shared)
+        snap_every = (cfg.snapshot_every
+                      if run_dir and cfg.snapshot_every and not use_mesh
+                      else None)
         wcfg = WhiteboxConfig(
             lr=cfg.lr, n_iters=cfg.iters_for(size),
             weights=(PRESET_INTERPOLATION
                      if cfg.whitebox_preset == "interpolation"
                      else PRESET_ATTACK_MAIN),
             execution=cfg.whitebox_execution,
+            snapshot_every=snap_every,
         )
         if attack == "white_box_patch":
             # per-image paste target (`attack_main2.py:339-351`)
@@ -259,6 +266,18 @@ def dispatch_attack(
 
             adv, tr = run_whitebox_sharded(pipeline, inputs, target, wcfg,
                                            cfg.which_adv, mesh)
+        elif snap_every:
+            adv, tr, snaps = run_whitebox(pipeline, inputs, target, wcfg,
+                                          cfg.which_adv)
+            # reference names: adv_input_<name>_<iter>.png / rec_...
+            # (`attack_main2.py:660-661`); one montage per snapshot here
+            n_rows = int(snaps["adv_input"].shape[1])
+            for k in range(int(snaps["adv_input"].shape[0])):
+                it = (k + 1) * snap_every
+                save_montage(snaps["adv_input"][k], os.path.join(
+                    run_dir, f"adv_input_{attack}_{it}.png"), nrow=n_rows)
+                save_montage(snaps["rec"][k], os.path.join(
+                    run_dir, f"rec_{attack}_{it}.png"), nrow=n_rows)
         else:
             adv, tr = run_whitebox(pipeline, inputs, target, wcfg, cfg.which_adv)
         write_loss_log(run_dir, attack, tr, kind="per_image_iter")
@@ -490,6 +509,11 @@ def run_experiment(
                 save_image(part_sp[-1:], os.path.join(store.run_dir, f"spatial_adv_fusion_0_{bi}_all.jpg"))
                 save_montage(part_sp, os.path.join(store.run_dir, f"spatial_partial_fusion_0_{bi}_all.jpg"), nrow=n + 1)
                 save_montage(part_ar, os.path.join(store.run_dir, f"arith_partial_fusion_0_{bi}_all.jpg"), nrow=n + 1)
+                # periodic flush (`attack_main2.py:1096-1100` writes the
+                # accumulated npz every 5 batches): a killed run keeps every
+                # batch completed before the last flush
+                if cfg.flush_every and (bi + 1) % cfg.flush_every == 0:
+                    store.flush()
 
         if store is not None:
             store.flush()
