@@ -42,19 +42,44 @@ class PGDConfig:
     clip_max: float = 1.0
 
 
-def make_pgd(loss_fn: Callable, config: PGDConfig):
+def make_pgd(loss_fn: Callable, config: PGDConfig, *,
+             external_start: bool = False):
     """Build a jitted PGD attack.
 
     Args:
       loss_fn: ``loss_fn(adv_images, *loss_args) -> scalar``.  Untargeted
         attacks *ascend* this loss; targeted attacks descend it
         (`interpolation.py:84-86` negates the CE for targeted mode).
+      external_start: when True, the returned callable is
+        ``attack(images, start, *loss_args)`` — the caller supplies the
+        (already random-started) first iterate and no key is drawn.  The
+        DP runners use this so the noise is drawn at the UNPADDED batch
+        shape and sharded runs stay bit-equal to single-device runs.
     Returns:
       ``attack(images, key, *loss_args) -> (adv_images, loss_trace)``.
     """
     cfg = config
     sign = -1.0 if cfg.targeted else 1.0
     grad_fn = jax.value_and_grad(lambda adv, args: sign * loss_fn(adv, *args))
+
+    def loop(images, adv, loss_args):
+        def step(adv, _):
+            loss, g = grad_fn(adv, loss_args)
+            # ascend: pgd_update adds alpha*sign(grad) — grad of `sign*loss`
+            adv = pgd_update(
+                adv, g, images, cfg.alpha, cfg.eps, cfg.clip_min, cfg.clip_max
+            )
+            return adv, sign * loss
+
+        return jax.lax.scan(step, adv, None, length=cfg.steps)
+
+    if external_start:
+
+        @jax.jit
+        def attack_ext(images, start, *loss_args):
+            return loop(images, start, loss_args)
+
+        return attack_ext
 
     @jax.jit
     def attack(images, key, *loss_args):
@@ -65,19 +90,19 @@ def make_pgd(loss_fn: Callable, config: PGDConfig):
             adv = jnp.clip(images + noise, cfg.clip_min, cfg.clip_max)
         else:
             adv = images
-
-        def step(adv, _):
-            loss, g = grad_fn(adv, loss_args)
-            # ascend: pgd_update adds alpha*sign(grad) — grad of `sign*loss`
-            adv = pgd_update(
-                adv, g, images, cfg.alpha, cfg.eps, cfg.clip_min, cfg.clip_max
-            )
-            return adv, sign * loss
-
-        adv, trace = jax.lax.scan(step, adv, None, length=cfg.steps)
-        return adv, trace
+        return loop(images, adv, loss_args)
 
     return attack
+
+
+def pgd_random_start(images, key, config: PGDConfig):
+    """The random start ``make_pgd`` draws internally, exposed for the DP
+    runners (drawn at the unpadded shape -> sharded == single-device)."""
+    if not config.random_start:
+        return images
+    noise = jax.random.uniform(
+        key, images.shape, images.dtype, -config.eps, config.eps)
+    return jnp.clip(images + noise, config.clip_min, config.clip_max)
 
 
 def fgsm(loss_fn: Callable, eps: float, *, targeted: bool = False,

@@ -90,11 +90,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "(attack_main2.py:934-938)")
     p.add_argument("--mesh", default=None, metavar="SPEC",
                    help="run on a device mesh: 'data=N[,model=M]' (or just "
-                        "'N' for pure DP). Routes white_box_* and "
-                        "patch_white_box through their data-parallel steps, "
+                        "'N' for pure DP). Routes white_box_*, "
+                        "patch_white_box, pgd/fgsm/pgd_classifier and "
+                        "cw/cw_classifier through their data-parallel steps, "
                         "fusion_pgd_* with --max_num_fusion>1 through the "
-                        "group-parallel attack, and TP-shards the generator "
-                        "when model>1. Test multi-device on one host with "
+                        "group-parallel attack + group-parallel evaluation, "
+                        "and TP-shards the generator when model>1. Test "
+                        "multi-device on one host with "
                         "XLA_FLAGS=--xla_force_host_platform_device_count=N "
                         "JAX_PLATFORMS=cpu")
     p.add_argument("--no_save_img", action="store_true")
@@ -448,16 +450,22 @@ def main(argv=None) -> int:
     # group-parallel fusion attacks: with a mesh and multiple groups, attack
     # ALL groups in one sharded program up front (the reference's
     # max_num_fusion loop, `interpolation.py:1265`, parallelised over
-    # 'data'), then evaluate per group below via adv_override
+    # 'data'), then run the EVALUATION phase (partial fusion both modes +
+    # metric rows, `interpolation.py:1076-1091`) for all groups as a second
+    # sharded program; run_experiment below consumes both via adv_override
     adv_overrides = [dict() for _ in input_groups]
     gp_attacks = [a for a in cfg.attacks if a.startswith("fusion_pgd")]
     if mesh is not None and mesh.size > 1 and len(input_groups) > 1 and gp_attacks:
         from tpufusion.attacks.fusion_attack import FusionAttackConfig
         from tpufusion.attacks.pgd import PGDConfig
-        from tpufusion.parallel import make_sharded_group_fusion_attack
+        from tpufusion.parallel import (
+            make_sharded_group_eval,
+            make_sharded_group_fusion_attack,
+        )
 
         groups_arr = jnp.stack(input_groups)
         gp_target = target[None]  # (1, 1, S, S, 3): shared across groups
+        gp_eval = make_sharded_group_eval(pipeline, mesh)
         for a in gp_attacks:
             facfg = FusionAttackConfig(
                 mode="arithmetic" if a.endswith("arith") else "spatial",
@@ -467,11 +475,15 @@ def main(argv=None) -> int:
             )
             gattack = make_sharded_group_fusion_attack(pipeline, facfg, mesh)
             adv_all, traces = gattack(groups_arr, gp_target, pool.next())
+            evals = gp_eval(groups_arr, adv_all)
             for gi in range(len(input_groups)):
+                per_group = {k: v[gi] for k, v in evals.items()}
                 adv_overrides[gi][a] = {"batches": [adv_all[gi]],
-                                        "trace": traces[gi]}
+                                        "trace": traces[gi],
+                                        "evals": [per_group]}
             print(f"[attack_run] {a}: {len(input_groups)} groups attacked "
-                  f"in one sharded program over mesh {dict(mesh.shape)}")
+                  f"AND evaluated in two sharded programs over mesh "
+                  f"{dict(mesh.shape)}")
 
     # one run_experiment per fusion group (`interpolation.py:1265` evaluates
     # max_num_fusion independent batches; each gets its own numbered run dir)

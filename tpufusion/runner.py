@@ -160,10 +160,14 @@ def dispatch_attack(
     (out_domain_single yields one batch per substituted index,
     `attack_main2.py:390-395`).
 
-    With a multi-device ``mesh`` (``--mesh`` on the CLI), the two heavy
-    optimisation attacks route through their data-parallel forms:
-    ``white_box_*`` via ``run_whitebox_sharded`` and ``patch_white_box``
-    training via ``train_patch_sharded`` (SURVEY §2 P1)."""
+    With a multi-device ``mesh`` (``--mesh`` on the CLI), every
+    optimisation attack routes through its data-parallel form:
+    ``white_box_*`` via ``run_whitebox_sharded``, ``patch_white_box``
+    training via ``train_patch_sharded``, ``pgd``/``fgsm``/
+    ``pgd_classifier`` via ``run_pgd_sharded`` and ``cw``/``cw_classifier``
+    via ``run_cw_sharded`` (SURVEY §2 P1); each sharded path is
+    equality-tested against its single-device twin in
+    ``tests/test_parallel.py``."""
     size = pipeline.image_size
     use_mesh = mesh is not None and mesh.size > 1
 
@@ -297,12 +301,26 @@ def dispatch_attack(
 
         eps = cfg.pgd_eps * 2.0  # [-1,1] range is 2x the [0,1] recipe
         if attack == "fgsm":
-            # FGSM = one full-eps signed step (alpha == eps), no random start
-            pcfg = PGDConfig(eps=eps, alpha=eps, steps=1, random_start=False)
+            # R+FGSM (Tramèr et al. 2018): one full-eps signed step from a
+            # random point.  Plain FGSM is DEGENERATE on this objective:
+            # codes == ref_codes at the clean start, so the squared-error
+            # gradient is exactly zero and the step direction would be pure
+            # rounding noise.  The random start breaks the tie with a real
+            # first-order direction (and keeps the sharded path equal to
+            # the single-device one, tests/test_parallel.py).
+            pcfg = PGDConfig(eps=eps, alpha=eps, steps=1, random_start=True)
         else:
             pcfg = PGDConfig(eps=eps, alpha=cfg.pgd_alpha * 2.0,
                              steps=cfg.pgd_steps, random_start=True)
-        adv, tr = make_pgd(loss, pcfg)(inputs, key, pipeline.enc_vars, latent_org)
+        if use_mesh:
+            from tpufusion.parallel import run_pgd_sharded
+
+            adv, tr = run_pgd_sharded(
+                loss, pcfg, inputs, key,
+                (pipeline.enc_vars, latent_org), ("rep", "batch"), mesh)
+        else:
+            adv, tr = make_pgd(loss, pcfg)(inputs, key, pipeline.enc_vars,
+                                           latent_org)
         write_loss_log(run_dir, attack, tr)
         return [adv]
 
@@ -342,7 +360,14 @@ def dispatch_attack(
 
         pcfg = PGDConfig(eps=cfg.pgd_eps * 2.0, alpha=cfg.pgd_alpha * 2.0,
                          steps=cfg.pgd_steps, random_start=True)
-        adv, tr = make_pgd(ce_loss, pcfg)(inputs, key, clf_vars, labels)
+        if use_mesh:
+            from tpufusion.parallel import run_pgd_sharded
+
+            adv, tr = run_pgd_sharded(ce_loss, pcfg, inputs, key,
+                                      (clf_vars, labels), ("rep", "batch"),
+                                      mesh)
+        else:
+            adv, tr = make_pgd(ce_loss, pcfg)(inputs, key, clf_vars, labels)
         write_loss_log(run_dir, attack, tr)
         if run_dir:
             # persist the transfer crops exactly how the reference reloads
@@ -359,13 +384,18 @@ def dispatch_attack(
         logits_fn, clf_vars = classifier_for(pipeline, cfg, key)
         clean_logits = jax.jit(logits_fn)(clf_vars, inputs)
         labels = jnp.argmax(clean_logits, axis=-1)
-        attack_fn = make_cw(
-            # params thread through as attack args, not closures; the adapter
-            # signature is (params, images) while make_cw passes (images, *args)
-            lambda x, p: logits_fn(p, x),
-            CWConfig(steps=cfg.cw_steps, lr=0.01),  # c = reference 1e-4 default
-        )
-        adv, best_l2 = attack_fn(inputs, labels, clf_vars)
+        # params thread through as attack args, not closures; the adapter
+        # signature is (params, images) while make_cw passes (images, *args)
+        cwcfg = CWConfig(steps=cfg.cw_steps, lr=0.01)  # c = ref 1e-4 default
+        if use_mesh:
+            from tpufusion.parallel import run_cw_sharded
+
+            adv, best_l2 = run_cw_sharded(
+                lambda x, p: logits_fn(p, x), cwcfg, inputs, labels,
+                (clf_vars,), ("rep",), mesh)
+        else:
+            attack_fn = make_cw(lambda x, p: logits_fn(p, x), cwcfg)
+            adv, best_l2 = attack_fn(inputs, labels, clf_vars)
         write_loss_log(run_dir, attack, best_l2, kind="per_image")
         if run_dir:
             save_montage(adv, os.path.join(
@@ -404,10 +434,15 @@ def run_experiment(
 
     ``mesh`` routes the heavy attacks through their sharded forms (see
     ``dispatch_attack``).  ``adv_override`` maps an attack name to
-    ``{"batches": [adv, ...], "trace": loss_trace|None}`` — precomputed
-    adversarial inputs (e.g. from the group-parallel fusion attack, where
-    all groups are attacked in ONE sharded program before per-group
-    evaluation) that replace that attack's dispatch.
+    ``{"batches": [adv, ...], "trace": loss_trace|None,
+    "evals": [eval_dict|None, ...]}`` — precomputed adversarial inputs
+    (e.g. from the group-parallel fusion attack, where all groups are
+    attacked in ONE sharded program before per-group evaluation) that
+    replace that attack's dispatch.  An ``evals`` entry (from
+    ``parallel.make_sharded_group_eval``, which runs the WHOLE evaluation
+    phase for all groups as one sharded program) carries that batch's
+    ``noise/part_sp/part_ar/cri_*/vg_*/ss_*`` and replaces the per-batch
+    partial-fusion + metric computation below.
 
     Returns a dict of results (and writes images/artifacts when
     ``save_root``).
@@ -474,9 +509,11 @@ def run_experiment(
             store.append("all_inner_feature", feats)
 
         key, k = jax.random.split(key)
+        pre_evals = None
         if adv_override and attack in adv_override:
             adv_batches = [jnp.asarray(b) for b in adv_override[attack]["batches"]]
             write_loss_log(run_dir, attack, adv_override[attack].get("trace"))
+            pre_evals = adv_override[attack].get("evals")
         else:
             adv_batches = dispatch_attack(
                 pipeline, attack, inputs, target_img, cfg, k, run_dir=run_dir,
@@ -486,12 +523,21 @@ def run_experiment(
         table = ResultsTable(n)
         attack_results = []
         for bi, adv in enumerate(adv_batches):
-            adv_latents = pipeline.get_latents(adv)
-            part_sp = partial_adv_fusion(pipeline.drawer, all_latents, adv_latents, "spatial")
-            part_ar = partial_adv_fusion(pipeline.drawer, all_latents, adv_latents, "arithmetic")
-            noise = mse_per_image(inputs, adv)
-            cri_sp, vg_sp, ss_sp = fused_image_metrics(pipeline, b_sp, part_sp)
-            cri_ar, vg_ar, ss_ar = fused_image_metrics(pipeline, b_ar, part_ar)
+            pre = pre_evals[bi] if pre_evals and bi < len(pre_evals) else None
+            if pre is not None:
+                # evaluation already ran inside the sharded group program
+                adv_latents = None  # only needed for artifacts; lazy below
+                part_sp, part_ar = pre["part_sp"], pre["part_ar"]
+                noise = pre["noise"]
+                cri_sp, vg_sp, ss_sp = pre["cri_sp"], pre["vg_sp"], pre["ss_sp"]
+                cri_ar, vg_ar, ss_ar = pre["cri_ar"], pre["vg_ar"], pre["ss_ar"]
+            else:
+                adv_latents = pipeline.get_latents(adv)
+                part_sp = partial_adv_fusion(pipeline.drawer, all_latents, adv_latents, "spatial")
+                part_ar = partial_adv_fusion(pipeline.drawer, all_latents, adv_latents, "arithmetic")
+                noise = mse_per_image(inputs, adv)
+                cri_sp, vg_sp, ss_sp = fused_image_metrics(pipeline, b_sp, part_sp)
+                cri_ar, vg_ar, ss_ar = fused_image_metrics(pipeline, b_ar, part_ar)
             table.add_batch(noise, cri_sp, cri_ar, vg_sp, vg_ar, ss_sp, ss_ar)
             attack_results.append(dict(
                 adv_inputs=adv, noise=noise,
@@ -503,6 +549,8 @@ def run_experiment(
             ))
             if store is not None:
                 store.append("all_adv_inputs", adv)
+                if adv_latents is None:
+                    adv_latents = pipeline.get_latents(adv)
                 adv_singles, _ = pipeline.drawer.w_plus_to_image(adv_latents)
                 store.append("all_adv_rec_loss", mse_per_image(adv, adv_singles))
                 save_montage(adv, os.path.join(store.run_dir, f"adv_inputs_0_{bi}_all.jpg"), nrow=n)
