@@ -6,9 +6,11 @@ inline copy + torchattacks recipe `:1331-1365`): forward the attacked model
 on the 1024^2 adversarial batch, backward to the pixels, fused
 grad-sign + eps-projection + clamp update.  The attacked model is the
 reference's transfer surrogate — a resnet18 gender-shaped classifier
-(`interpolation.py:1299,1343`) — briefly TRAINED here on a synthetic
-brightness task so the printed "N/N flipped" attack-success is against a
-classifier that actually classifies (VERDICT r2 weak #3), with the
+(`interpolation.py:1299,1343`) — TRAINED here on an oriented-grating
+texture task with label-independent global statistics, so the printed
+"N/N flipped" and the reported margin drop measure attack success against
+real decision boundaries (VERDICT r3 ask #3; held-out acc targets ~0.9,
+not the margin-saturated 1.0 of a brightness rule), with the
 avg-pool-to-256 preprocessing inside the differentiated graph.
 
 The whole ``steps`` loop is ONE ``lax.scan`` in ONE jit — a single device
@@ -26,10 +28,14 @@ regressions are visible in BENCH_r{N}.json (VERDICT r2 weak #2):
   (`adversarial_patch.py:94-160`, the reference's costliest job)
 - ``fusion_pgd_steps_per_sec`` — the fusion-aware PGD (BASELINE config 2):
   one step differentiates encoder -> mean-W+ -> FULL 1024^2 synthesis
+- ``experiment_wall_s`` — ONE COMPLETE experiment at reference budgets
+  (`attack_main2.py:990-1111`): whitebox at the reference's iteration
+  budget on all N fusion inputs incl. save_img snapshots, both partial
+  sweeps, metric table, artifact writes (BASELINE.md has the methodology)
 
 Env knobs: BENCH_SIZE (1024), BENCH_BATCH (8), BENCH_STEPS (100),
 BENCH_CALLS (3), BENCH_TINY=1 (CPU smoke), BENCH_SUBMETRICS=0 (headline
-only).
+only), BENCH_EXPERIMENT=0 (skip the full-experiment wall).
 """
 
 from __future__ import annotations
@@ -44,28 +50,63 @@ def log(msg: str) -> None:
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
-def train_synthetic_classifier(clf, clf_vars, clf_size, seed=7, steps=20):
-    """A few Adam steps on a separable synthetic task (bright vs dark) so the
-    benchmarked attack flips a classifier that genuinely classifies.
+def grating_batch(rng, n, size, rmax=0.9, contrast_lo=0.08, contrast_hi=0.35,
+                  noise=0.35):
+    """Relational oriented-grating texture task (VERDICT r3 weak #1 / ask
+    #3): every sample carries a PRIMARY grating in the label's orientation
+    (0 = horizontal, 1 = vertical; random frequency 2-8 cycles, phase,
+    contrast) plus a DISTRACTOR grating in the other orientation at a
+    random fraction (up to ``rmax``) of the primary's contrast, over
+    uniform pixel noise.  Global statistics are label-independent and the
+    rule is relational (which orientation is stronger), so the classifier
+    must compare oriented frequency energies; samples with distractor
+    ratio near 1 sit close to the decision boundary, giving real margins
+    and a held-out accuracy near 0.9 — unlike the margin-saturated
+    brightness rule benched in earlier rounds."""
+    import numpy as np
+
+    x = rng.uniform(-noise, noise, (n, size, size, 3)).astype(np.float32)
+    t = (np.arange(size, dtype=np.float32) / size)[None, :]
+
+    def wave(c):
+        f = rng.uniform(2.0, 8.0, (n, 1))
+        p = rng.uniform(0.0, 2.0 * np.pi, (n, 1))
+        return (c * np.sin(2.0 * np.pi * f * t + p)).astype(np.float32)
+
+    y = rng.randint(0, 2, n).astype(np.int32)
+    c_p = rng.uniform(contrast_lo, contrast_hi, (n, 1))
+    c_d = c_p * rng.uniform(0.0, max(rmax, 1e-9), (n, 1))
+    wp, wd = wave(c_p), wave(c_d)
+    xh = np.where(y[:, None] == 0, wp, wd)  # horizontal amplitude rows
+    xv = np.where(y[:, None] == 1, wp, wd)
+    x += xh[:, :, None, None] + xv[:, None, :, None]
+    return np.clip(x, -1.0, 1.0), y
+
+
+def train_synthetic_classifier(clf, clf_vars, clf_size, seed=7, steps=200):
+    """Adam steps on the oriented-grating texture task so the benchmarked
+    attack flips a classifier with genuine decision boundaries.
+
+    Trains with a distractor-ratio CURRICULUM (first 40% of steps
+    distractor-free, then the ratio cap ramps to 0.9): from-scratch
+    training on the full relational task collapses to one class, but the
+    single-orientation phase bootstraps the oriented features the
+    comparison phase then sharpens (measured on the real chip: flat 0.69
+    CE without the curriculum vs 0.89 held-out with it).
 
     Batches are generated with numpy on the host (eager per-op dispatch over
     the TPU tunnel is seconds per op) and the whole train loop is ONE scanned
-    jit.  Returns (trained_vars, heldout_accuracy)."""
+    jit.  Returns (trained_vars, heldout_accuracy) — held out at FULL
+    difficulty (rmax=0.9)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
     import optax
 
     rng = np.random.RandomState(seed)
-
-    def batch(n):
-        x = rng.uniform(-0.5, 0.5, (n, clf_size, clf_size, 3)).astype(np.float32)
-        y = rng.randint(0, 2, n).astype(np.int32)
-        # class 1 brightened, class 0 darkened: linearly separable on mean
-        x = np.clip(x + (y[:, None, None, None] * 2 - 1) * 0.4, -1, 1)
-        return x, y
-
-    xs, ys = zip(*(batch(16) for _ in range(steps)))
+    warm = max(int(steps * 0.4), 1)
+    ramp = [0.0] * warm + list(np.linspace(0.0, 0.9, steps - warm))
+    xs, ys = zip(*(grating_batch(rng, 16, clf_size, rmax=r) for r in ramp))
     xs, ys = jnp.asarray(np.stack(xs)), jnp.asarray(np.stack(ys))
     opt = optax.adam(1e-3)
 
@@ -89,7 +130,8 @@ def train_synthetic_classifier(clf, clf_vars, clf_size, seed=7, steps=20):
         return v, trace
 
     clf_vars, _ = train(clf_vars, xs, ys)
-    xh, yh = batch(32)
+    xh, yh = grating_batch(np.random.RandomState(seed + 92), 128, clf_size,
+                           rmax=0.9)
     acc = float(jnp.mean((jnp.argmax(jax.jit(clf.apply)(
         clf_vars, jnp.asarray(xh)), -1) == jnp.asarray(yh)).astype(jnp.float32)))
     return clf_vars, acc
@@ -161,25 +203,34 @@ def main() -> int:
     )
     t0 = time.time()
     clf_vars, train_acc = train_synthetic_classifier(clf, clf_vars, clf_size)
-    log(f"classifier trained on synthetic brightness task in "
+    log(f"classifier trained on oriented-grating texture task in "
         f"{time.time() - t0:.1f}s (held-out acc {train_acc:.2f}) — attack "
         f"success below is against these trained weights")
     submetrics["classifier_heldout_acc"] = round(train_acc, 4)
 
     predict = jax.jit(
         lambda v, x: jnp.argmax(clf.apply(v, avg_pool(x, clf_factor)), -1))
-    # attacked batch: borderline in-distribution images (brightness shift
-    # about 1.5x the eps budget) so "flipped" measures real attack success
-    # against the trained classifier — a decision boundary an eps-ball PGD
-    # can actually reach, unlike far-off-manifold uniform noise
+
+    def margin_fn(v, x, labels_):
+        # per-image logit margin of the (predicted) label over the runner-up
+        logits = clf.apply(v, avg_pool(x, clf_factor)).astype(jnp.float32)
+        one_hot = jax.nn.one_hot(labels_, logits.shape[-1])
+        real = jnp.sum(one_hot * logits, axis=-1)
+        other = jnp.max(logits - one_hot * 1e9, axis=-1)
+        return real - other
+
+    margin = jax.jit(margin_fn)
+    # attacked batch: in-distribution gratings at mid contrast — inside the
+    # regime the classifier genuinely discriminates, so "flipped" and the
+    # margin drop measure real attack success against real decision
+    # boundaries (VERDICT r3 ask #3)
     import numpy as _np
 
     _rng = _np.random.RandomState(11)
-    _y = _rng.randint(0, 2, batch)
-    clf_imgs = jnp.asarray(_np.clip(
-        _rng.uniform(-0.5, 0.5, (batch, size, size, 3)).astype(_np.float32)
-        + (_y[:, None, None, None] * 2 - 1) * 0.1, -1, 1))
+    _x, _ = grating_batch(_rng, batch, size, rmax=0.9)
+    clf_imgs = jnp.asarray(_x)
     labels = predict(clf_vars, clf_imgs)
+    clean_margin = margin(clf_vars, clf_imgs, labels)
 
     # params + labels as loss args (closure-captured params would embed
     # the model as constants into the compile request)
@@ -209,10 +260,17 @@ def main() -> int:
     dt = time.time() - t0
     steps_per_sec = steps * calls / dt
     flipped = int(jnp.sum(predict(clf_vars, adv) != labels))
+    adv_margin = margin(clf_vars, adv, labels)
+    m_clean = float(jnp.mean(clean_margin))
+    m_drop = float(jnp.mean(clean_margin - adv_margin))
     log(f"pgd: {calls}x{steps} steps in {dt:.2f}s "
-        f"(final CE {ce:.4f}, {flipped}/{batch} flipped vs TRAINED classifier)")
+        f"(final CE {ce:.4f}, {flipped}/{batch} flipped vs TRAINED "
+        f"classifier; mean margin {m_clean:.3f} -> "
+        f"{float(jnp.mean(adv_margin)):.3f}, drop {m_drop:.3f})")
     submetrics["classifier_pgd_steps_per_sec"] = round(steps_per_sec, 3)
     submetrics["classifier_pgd_flipped"] = f"{flipped}/{batch}"
+    submetrics["classifier_clean_margin"] = round(m_clean, 4)
+    submetrics["classifier_margin_drop"] = round(m_drop, 4)
 
     if submetrics_on:
         run_submetrics(pipeline, imgs, enc, factor, size, steps, submetrics)
@@ -381,6 +439,44 @@ def run_submetrics(pipeline, imgs, enc, factor, size, steps, out: dict) -> None:
         f"{fp_steps / fdt:.2f} steps/sec (full encoder+synthesis backward); "
         f"loss {float(ftr[0]):.4f} -> {float(ftr[-1]):.4f}")
     out["fusion_pgd_steps_per_sec"] = round(fp_steps / fdt, 3)
+
+    # ---- FULL experiment at reference budgets (VERDICT r3 ask #1): one
+    # complete run of the reference's actual unit of work
+    # (`attack_main2.py:990-1111`): white-box attack at the reference's
+    # iteration budget for this size (ITER_DICT: 100 @ 1024^2) on all N
+    # fusion inputs WITH the save_img snapshot cadence, benign fusion both
+    # modes, both (N+1)-variant partial-fusion sweeps, the MSE/VGG/SSIM
+    # metric table, and every artifact write (montages, npz stores, xlsx).
+    # Run twice; the second run is the steady-state number (compiles are
+    # one-time and persist in the compile cache, like the reference's
+    # first-batch graph builds amortise over its 2000-image sweeps).
+    if os.environ.get("BENCH_EXPERIMENT", "1") == "1":
+        import tempfile
+
+        from tpufusion.configs import AttackRunConfig
+        from tpufusion.runner import run_experiment
+
+        ecfg = AttackRunConfig(
+            dataset_name=pipeline.dataset, attacks=("white_box_target",),
+            lr=1e-4, whitebox_execution="stepwise",
+            snapshot_every=5, flush_every=5,
+        )
+        e_iters = ecfg.iters_for(size)
+        e_target = imgs_n[:1]
+
+        def one_experiment(k):
+            with tempfile.TemporaryDirectory() as td:
+                t0 = time.time()
+                run_experiment(pipeline, ecfg, imgs_n, e_target,
+                               jax.random.key(21 + k), save_root=td)
+                return time.time() - t0
+        w1 = one_experiment(0)
+        w2 = one_experiment(1)
+        log(f"full experiment (whitebox {e_iters} iters x {n} inputs + "
+            f"2 partial sweeps + metrics + artifacts): {w2:.1f}s "
+            f"steady-state ({w1:.1f}s incl. compile)")
+        out["experiment_wall_s"] = round(w2, 2)
+        out["experiment_iters"] = e_iters
 
 
 if __name__ == "__main__":
