@@ -138,18 +138,23 @@ def jax_step_ms(size: int, steps: int) -> float:
 def main() -> int:
     size = int(os.environ.get("FR_SIZE", "128"))
     steps = int(os.environ.get("FR_STEPS", "3"))
+    skip_jax = os.environ.get("FR_SKIP_JAX", "0") == "1"
     log(f"size={size} steps={steps} (both on this host's CPU)")
     t0 = time.time()
     t_ms = torch_step_ms(size, steps)
     log(f"torch eager: {t_ms:.0f} ms/step ({time.time() - t0:.1f}s total)")
-    j_ms = jax_step_ms(size, steps)
-    log(f"tpufusion jitted: {j_ms:.0f} ms/step")
-    print(json.dumps({
+    out = {
         "metric": f"whitebox step ms, {size}^2, batch-1, host CPU",
         "torch_ms_per_step": round(t_ms, 1),
-        "jax_ms_per_step": round(j_ms, 1),
-        "ratio": round(t_ms / j_ms, 2),
-    }))
+    }
+    if not skip_jax:  # FR_SKIP_JAX=1: torch-only (a 1024^2 XLA:CPU compile
+        # takes tens of minutes on this 1-core host; the 1024^2 torch point
+        # feeds BASELINE.md's reference-wall estimate on its own)
+        j_ms = jax_step_ms(size, steps)
+        log(f"tpufusion jitted: {j_ms:.0f} ms/step")
+        out["jax_ms_per_step"] = round(j_ms, 1)
+        out["ratio"] = round(t_ms / j_ms, 2)
+    print(json.dumps(out))
     return 0
 
 

@@ -142,17 +142,27 @@ def main() -> int:
     # The synthesis tail (1024^2 at 32-64 channels, upfirdn2d resampling) is
     # bandwidth-bound, so the bandwidth term is the binding one for this
     # program — report utilisation against the roofline, not just the MXU.
+    # Bandwidth numerator: the TOP-LEVEL-BUFFER traffic (bytes that actually
+    # cross HBM between kernels), not XLA's "bytes accessed", which also
+    # counts producer->consumer bytes inside fused kernels that never leave
+    # VMEM — that overcount is what made r3's 549 GB/s exceed the measured
+    # 387-512 GB/s stream bandwidth (VERDICT r3 weak #3).  Both are
+    # reported.
+    hbm_bytes = breakdown["total_gb"] * 1e9 if breakdown else bytes_accessed
     t_flops = flops / peak if flops else 0.0
-    t_bw = bytes_accessed / PEAKS["v5e_hbm_Bps"] if bytes_accessed else 0.0
+    t_bw = hbm_bytes / PEAKS["v5e_hbm_Bps"] if hbm_bytes else 0.0
     t_roofline = max(t_flops, t_bw)
     result = {
         "metric": f"whitebox step MFU, batch-{batch}, {size}^2",
         "sec_per_step": round(sec_per_step, 4),
         "steps_per_sec": round(1.0 / sec_per_step, 2),
         "flops_per_step": flops,
-        "hbm_bytes_per_step": bytes_accessed,
+        "hbm_bytes_per_step": hbm_bytes,
+        "xla_bytes_per_step": bytes_accessed,
         "achieved_tflops": round(achieved / 1e12, 2),
-        "achieved_GBps": round(bytes_accessed / sec_per_step / 1e9, 1)
+        "achieved_GBps": round(hbm_bytes / sec_per_step / 1e9, 1)
+        if hbm_bytes else None,
+        "xla_counted_GBps": round(bytes_accessed / sec_per_step / 1e9, 1)
         if bytes_accessed else None,
         "peak_tflops_bf16": peak / 1e12,
         "mfu": round(achieved / peak, 4) if flops else None,

@@ -174,6 +174,9 @@ class PatchConfig:
     w_img_rec_target: float = 0.0
     w_lpips_rec_target: float = 0.0
     step_size: float = 1.0  # reference uses raw grad (`patch -= adv_grad`)
+    # lax.scan unroll factor for the max_count inner loop (see
+    # attacks.pgd.PGDConfig.unroll)
+    unroll: int = 1
 
 
 def make_patch_attack_step(pipeline: FusionPipeline, config: PatchConfig,
@@ -241,7 +244,8 @@ def make_patch_attack_step(pipeline: FusionPipeline, config: PatchConfig,
             canvas_ = jnp.clip(canvas_, cmin, cmax)
             return canvas_, loss
 
-        canvas, trace = jax.lax.scan(inner, canvas, None, length=cfg.max_count)
+        canvas, trace = jax.lax.scan(inner, canvas, None,
+                                     length=cfg.max_count, unroll=cfg.unroll)
         new_patch = extract_patch(canvas, pos, patch.shape[0])
         return new_patch, trace
 

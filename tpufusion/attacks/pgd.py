@@ -40,6 +40,13 @@ class PGDConfig:
     targeted: bool = False
     clip_min: float = -1.0
     clip_max: float = 1.0
+    # lax.scan unroll factor for the step loop.  >1 inlines that many step
+    # bodies per while iteration (XLA can then overlap/fuse across steps at
+    # the cost of program size); measured a wash for the big fusion
+    # programs (DESIGN §9) but kept as a knob.  Full unroll also makes
+    # XLA's cost analysis count every step, which benchmarks/mfu_programs.py
+    # uses for exact per-step FLOP/byte accounting.
+    unroll: int = 1
 
 
 def make_pgd(loss_fn: Callable, config: PGDConfig, *,
@@ -71,7 +78,8 @@ def make_pgd(loss_fn: Callable, config: PGDConfig, *,
             )
             return adv, sign * loss
 
-        return jax.lax.scan(step, adv, None, length=cfg.steps)
+        return jax.lax.scan(step, adv, None, length=cfg.steps,
+                            unroll=cfg.unroll)
 
     if external_start:
 
