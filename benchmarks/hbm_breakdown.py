@@ -1,24 +1,40 @@
 """Static per-buffer HBM-traffic breakdown of a compiled XLA program.
 
 The roofline bound for a bandwidth-bound program is (bytes moved)/(HBM BW);
-XLA's ``cost_analysis`` reports ONE total for bytes moved.  This tool breaks
-that total down: it parses the optimized HLO text and charges, for every
-top-level instruction of the entry computation, one WRITE of its output
-buffer and one READ per top-level use — exactly the buffers that live in
-HBM between kernels (fusion-internal intermediates never leave VMEM, and the
-entry computation after fusion is the kernel schedule).  Aliasing ops
-(bitcast / get-tuple-element / tuple) are resolved to their source buffer
-and charged nothing themselves.
+XLA's ``cost_analysis`` reports ONE total for bytes moved — and counts every
+operand of every op, i.e. double-counts producer->consumer bytes inside
+fused kernels that never leave VMEM.  This tool parses the optimized HLO
+text instead and charges only bytes that actually cross HBM:
+
+- every top-level instruction writes its output once and reads each operand
+  once (the entry computation after fusion IS the kernel schedule);
+- **memory spaces are honoured**: TPU HLO layouts carry ``S(1)`` (VMEM) /
+  ``S(2)`` (SMEM) annotations.  A buffer placed on-chip charges NOTHING on
+  reads or writes — e.g. the weight stacks that XLA prefetches to VMEM via
+  ``copy-start`` pay one HBM read at the copy and are then free to every
+  consumer.  (Ignoring this overcounted the r3 patch step ~3x.)
+- **in-place / slicing ops charge slice bytes, not buffer bytes**:
+  ``dynamic-slice`` reads only its output's extent from the source;
+  ``dynamic-update-slice`` updates in place (write = update bytes, no
+  full-buffer rewrite); async ``slice-start``/``async-done`` pairs charge
+  the slice once at the start op.
+- aliasing ops (bitcast) resolve to their source buffer; pure views with
+  their own declared type+space (get-tuple-element, tuple, copy-done,
+  async-done) are free defs — their consumers charge that view's own
+  HBM-resident bytes.
 
 Traffic is bucketed by buffer SHAPE, which is what makes the table
 actionable: ``bf16[8,1024,1024,32]`` is "the 1024^2 synthesis activations",
 ``f32[8,256,256,64]`` is "the fp32 VGG conv1 taps", and so on.
 
 Limitations (documented, acceptable for kernel-schedule analysis):
-- ``while``/``call`` sub-computations are also parsed when present, each
-  charged once (a scanned loop's per-iteration traffic multiplies by trip
-  count — use the stepwise program for per-step numbers);
-- convolution scratch and DMA double-buffering are not visible in HLO text.
+- ``while`` bodies are parsed and charged once (a scanned loop's
+  per-iteration traffic multiplies by trip count — use unrolled or stepwise
+  programs for per-step numbers); the while op itself charges nothing (its
+  state tuple aliases in place);
+- convolution scratch and DMA double-buffering are not visible in HLO text;
+- the result is a schedule-level ESTIMATE: validate wall-time conclusions
+  against the device trace (benchmarks/profile_whitebox.py).
 
 Usage:
   breakdown = hbm_traffic_breakdown(compiled.as_text())
@@ -40,33 +56,46 @@ _DTYPE_BYTES = {
     "f64": 8, "s64": 8, "u64": 8, "c64": 8, "c128": 16,
 }
 
+# shape with optional layout braces: 'bf16[8,32]{1,0:T(8,128)S(1)}'
+_COMP_RE = re.compile(r"([a-z0-9]+)\[([\d,]*)\](?:\{([^}]*)\})?")
 _SHAPE_RE = re.compile(r"([a-z0-9]+)\[([\d,]*)\]")
 _INSTR_RE = re.compile(r"^\s*(?:ROOT\s+)?%?([\w.\-]+)\s*=\s*(.*)$")
 _OPCODE_RE = re.compile(r"\s([a-z][a-z0-9\-]*)\(")
-# aliasing / zero-traffic opcodes.
-# - bitcast/copy-done are pure same-bytes views: reads resolve to the source.
-# - get-tuple-element and tuple are FREE defs with their OWN declared type
-#   (a gte's type is the element's shape; a tuple's type sums its
-#   components) — charging reads at the view's own size keeps per-shape
-#   buckets exact instead of collapsing every element to operand 0.
-# - transpose/copy are REAL traffic on TPU; copy-start moves the bytes and
-#   copy-done is the view of its result.
-_ALIAS_OPS = {"bitcast", "copy-done"}
+# pure aliases: reads resolve to the source buffer.
+_ALIAS_OPS = {"bitcast"}
+# free defs with their OWN declared type+space — no write; consumers charge
+# the view's own HBM-resident bytes.  copy-done / async-done are the views
+# of their start ops' results (the data movement is charged at the start).
 _FREE_OPS = {"parameter", "constant", "iota", "after-all", "partition-id",
-             "replica-id", "get-tuple-element", "tuple"}
+             "replica-id", "get-tuple-element", "tuple", "copy-done",
+             "async-done", "while"}
+# data-movement starts with special charging rules (see _charge below)
+_START_OPS = {"copy-start", "async-start"}
+_SLICE_OPS = {"dynamic-slice", "dynamic-update-slice"}
 
 
-def _shape_bytes(type_str: str) -> int:
-    total = 0
-    for dt, dims in _SHAPE_RE.findall(type_str):
+def _components(type_str: str):
+    """[(bytes, on_chip)] for every array component of a (tuple) type."""
+    comps = []
+    for dt, dims, layout in _COMP_RE.findall(type_str):
         if dt not in _DTYPE_BYTES:
             continue
         n = 1
         for d in dims.split(","):
             if d:
                 n *= int(d)
-        total += n * _DTYPE_BYTES[dt]
-    return total
+        comps.append((n * _DTYPE_BYTES[dt], "S(" in (layout or "")))
+    return comps
+
+
+def _hbm_bytes(type_str: str) -> int:
+    """Bytes of the HBM-resident components only."""
+    return sum(b for b, onchip in _components(type_str) if not onchip)
+
+
+def _shape_bytes(type_str: str) -> int:
+    """Total bytes regardless of memory space (kept for tests/compat)."""
+    return sum(b for b, _ in _components(type_str))
 
 
 def _norm_shape(type_str: str) -> str:
@@ -127,14 +156,27 @@ def _parse_instruction(line: str):
 
 
 def hbm_traffic_breakdown(hlo_text: str, top: int = 25) -> dict:
-    """Parse optimized HLO text -> per-shape traffic table.
+    """Parse optimized HLO text -> per-shape HBM traffic table.
 
     Returns {"total_gb", "buckets": [{shape, traffic_gb, writes, reads,
     n_buffers, ops}], "n_instructions"}."""
-    defs: dict = {}        # name -> (shape_str, bytes, opcode)
-    alias: dict = {}       # name -> source name
-    reads = defaultdict(int)     # name -> top-level read count
+    # name -> (norm_shape, bytes a consumer read transfers from HBM,
+    #          write bytes charged at def, opcode)
+    defs: dict = {}
+    alias: dict = {}             # name -> source name
+    reads_n = defaultdict(int)   # name -> top-level read count
+    reads_b = defaultdict(int)   # name -> total HBM read bytes charged
     n_instructions = 0
+
+    def charge_read(op_name: str, nbytes: int | None = None) -> None:
+        tgt = alias.get(op_name, op_name)
+        if tgt not in defs:
+            return
+        per_read = defs[tgt][1]
+        if per_read <= 0:
+            return  # on-chip (VMEM/SMEM) or zero-size buffer: free reads
+        reads_n[tgt] += 1
+        reads_b[tgt] += per_read if nbytes is None else min(nbytes, per_read)
 
     # sub-computations called by fusions don't touch HBM; while/cond bodies
     # do.  Fusion-called computations are named %fused_computation* /
@@ -151,46 +193,85 @@ def hbm_traffic_breakdown(hlo_text: str, top: int = 25) -> dict:
                 continue
             name, opcode, type_str, operands = parsed
             n_instructions += 1
-            nbytes = _shape_bytes(type_str)
+            comps = _components(type_str)
+            hbm_out = sum(b for b, onchip in comps if not onchip)
             if opcode in _ALIAS_OPS and operands:
                 src = operands[0]
                 alias[name] = alias.get(src, src)
-                continue  # views/grouping: no write AND no operand reads —
-                # traffic is charged where the aliased buffer is USED
-            elif opcode in _FREE_OPS:
-                defs[name] = (_norm_shape(type_str), nbytes, opcode)
-                continue  # no write charged; reads charged at uses
-            else:
-                defs[name] = (_norm_shape(type_str), nbytes, opcode)
+                continue
+            if opcode in _FREE_OPS:
+                # own type+space view; no write, no operand traffic.  (while:
+                # its state tuple aliases in place — the body, parsed as its
+                # own computation, carries the real per-iteration traffic.)
+                defs[name] = (_norm_shape(type_str), hbm_out, 0, opcode)
+                continue
+            if opcode == "copy-start":
+                # tuple (dest, src-alias, context): the copy reads the
+                # operand and writes the dest component — each charged only
+                # if HBM-resident.  This is how XLA spells VMEM prefetch.
+                dest_b = (comps[0][0] if comps and not comps[0][1] else 0)
+                defs[name] = (_norm_shape(type_str), dest_b, dest_b, opcode)
+                if operands:
+                    charge_read(operands[0])
+                continue
+            if opcode == "async-start":
+                # tuple ((operands...), result, scratch): an async slice /
+                # wrapped op.  It moves RESULT bytes out of the source —
+                # charge that as the operand read; write only if the result
+                # lands in HBM (usually it lands in VMEM: S(1)).
+                res_b, res_onchip = comps[-2] if len(comps) >= 2 else (0, True)
+                w = 0 if res_onchip else res_b
+                defs[name] = (_norm_shape(type_str), w, w, opcode)
+                if operands:
+                    charge_read(operands[0], res_b)
+                continue
+            if opcode == "dynamic-slice":
+                # reads only the slice extent from the source buffer
+                defs[name] = (_norm_shape(type_str), hbm_out, hbm_out, opcode)
+                if operands:
+                    charge_read(operands[0], hbm_out or None)
+                for op in operands[1:]:
+                    charge_read(op)
+                continue
+            if opcode == "dynamic-update-slice":
+                # in place: write = update bytes; the big operand aliases
+                # through (no full-buffer rewrite, no full-buffer read)
+                upd = operands[1] if len(operands) > 1 else None
+                upd_t = alias.get(upd, upd)
+                upd_b = defs[upd_t][1] if upd_t in defs else hbm_out
+                defs[name] = (_norm_shape(type_str), hbm_out, upd_b, opcode)
+                for op in operands[1:]:
+                    charge_read(op)
+                continue
+            # ordinary kernel: write the HBM components of the output, read
+            # each operand's HBM bytes
+            defs[name] = (_norm_shape(type_str), hbm_out, hbm_out, opcode)
             for op in operands:
-                tgt = alias.get(op, op)
-                if tgt in defs:
-                    reads[tgt] += 1
+                charge_read(op)
 
     buckets: dict = defaultdict(lambda: dict(
         traffic=0, writes=0, reads=0, n_buffers=0, ops=set()))
     total = 0
-    for name, (shape, nbytes, opcode) in defs.items():
-        if nbytes == 0:
+    for name, (shape, _read_b, write_b, opcode) in defs.items():
+        rb = reads_b.get(name, 0)
+        if write_b == 0 and rb == 0:
             continue
         b = buckets[shape]
-        wrote = 0 if opcode in _FREE_OPS else 1
-        r = reads.get(name, 0)
-        b["traffic"] += nbytes * (wrote + r)
-        b["writes"] += wrote
-        b["reads"] += r
+        b["traffic"] += write_b + rb
+        b["writes"] += 1 if write_b else 0
+        b["reads"] += reads_n.get(name, 0)
         b["n_buffers"] += 1
         b["ops"].add(opcode)
-        total += nbytes * (wrote + r)
+        total += write_b + rb
 
     rows = sorted(
-        (dict(shape=s, traffic_gb=round(v["traffic"] / 1e9, 3),
+        (dict(shape=s, traffic_gb=round(v["traffic"] / 1e9, 6),
               writes=v["writes"], reads=v["reads"], n_buffers=v["n_buffers"],
               ops=sorted(v["ops"]))
          for s, v in buckets.items()),
         key=lambda r: -r["traffic_gb"],
     )
-    return dict(total_gb=round(total / 1e9, 3), buckets=rows[:top],
+    return dict(total_gb=round(total / 1e9, 6), buckets=rows[:top],
                 n_instructions=n_instructions)
 
 

@@ -150,6 +150,27 @@ conv3x3_s2d.defvjp(_c3s2d_fwd, _c3s2d_bwd)
 _S2D_TAIL_ENABLED = os.environ.get(
     "TPUFUSION_S2D_TAIL", "0").lower() in ("1", "on", "true")
 
+# Width-packed Pallas tail convs (ops/pallas_conv.py): repack in VMEM
+# instead of HBM — the fix for exactly the transpose cost that sank the
+# s2d path.  Same read-once discipline as the s2d flag.
+_WP_TAIL_ENABLED = os.environ.get(
+    "TPUFUSION_WP_TAIL", "0").lower() in ("1", "on", "true")
+
+
+def set_wp_tail(enabled: bool) -> None:
+    """Toggle the width-packed Pallas tail-conv path for NEW traces."""
+    global _WP_TAIL_ENABLED
+    _WP_TAIL_ENABLED = bool(enabled)
+    jax.clear_caches()
+
+
+def _use_wp(x_shape, w_shape) -> bool:
+    if not _WP_TAIL_ENABLED:
+        return False
+    from tpufusion.ops.pallas_conv import _supported
+
+    return _supported(x_shape, w_shape)
+
 
 def set_s2d_tail(enabled: bool) -> None:
     """Toggle the space-to-depth tail-conv path for NEW traces.
@@ -227,6 +248,12 @@ def modulated_conv2d(
             padding="VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
+    elif _use_wp(xs.shape, w.shape):
+        # low-channel tail: width-packed Pallas conv — full MXU lanes,
+        # repack entirely in VMEM (zero extra HBM passes)
+        from tpufusion.ops.pallas_conv import conv3x3_wp
+
+        y = conv3x3_wp(xs, w)
     elif _use_s2d(x.shape[1], x.shape[2], kh, cin):
         # low-channel high-res tail: packed-space conv fills the MXU lanes
         y = conv3x3_s2d(xs, w)

@@ -1,0 +1,285 @@
+"""Width-packed 3x3 conv Pallas kernels for the low-channel synthesis tail.
+
+The StyleGAN2 tail convs (3x3 SAME, C=32 @1024^2, C=64 @512^2 — the hottest
+kernels of the whitebox/fusion-attack steps, docs/DESIGN.md §9) run far under
+MXU capacity under XLA: with C output channels only C of the MXU's 128 lanes
+carry data (measured 9.7 TF/s at C=32).  The space-to-depth fix
+(`ops/modconv.py::conv3x3_s2d`) repacks in HBM and loses end-to-end because
+the repack transposes are extra full passes over the activations.
+
+These kernels repack **in VMEM** instead, with zero extra HBM traffic:
+
+- NHWC activations reshape (N, H, W, C) -> (N, H, W/p, 128) with p = 128/C.
+  The minor dims merge contiguously, so the reshape is a free bitcast — the
+  kernel reads and writes the SAME bytes XLA's layout already has.
+- One output "lane tile" holds p adjacent pixels x C channels.  The 3x3
+  conv becomes, per kernel row ky, a contraction over the 128 packed body
+  channels plus the C channels that spill into each neighbouring lane tile
+  (3 dots per ky, K in {C, 128}; FLOP tax (3*(128+2C))/(9*C*p... ) ≈ 2.0x
+  at C=32, 1.33x at C=64 — paid at ~full MXU occupancy instead of C/128).
+- Row halos (1 row each side) arrive via two 64KB async DMAs from an ANY-
+  space alias of the input; the body streams through the normal pipelined
+  BlockSpec.  Column halos are zero-concats in VMEM (SAME padding).
+
+Forward, input-grad (same kernel, flipped/transposed weights) and
+weight-grad kernels compose into `conv3x3_wp` (a `jax.custom_vjp`), used by
+`ops/modconv.py::modulated_conv2d` when `TPUFUSION_WP_TAIL` enables it.
+
+Reference anchor: the convs these accelerate implement rosinality
+ModulatedConv2d's 3x3 path (used via `style_fusion_simple.py:10-11`).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+
+
+def _supported(x_shape, w_shape) -> bool:
+    n, h, w, c = x_shape
+    kh, kw, cin, cout = w_shape
+    if (kh, kw) != (3, 3) or cin != c or cout != c:
+        return False
+    if c not in (32, 64) or (w * c) % LANES:
+        return False
+    p = LANES // c
+    return w % p == 0 and h % 8 == 0
+
+
+@functools.lru_cache(maxsize=None)
+def _tile_rows(h: int) -> int:
+    """Largest row-tile <=32 dividing h (VMEM budget ~4MB at WP<=256)."""
+    for th in (32, 16, 8):
+        if h % th == 0:
+            return th
+    return 1
+
+
+def pack_weights(w: jax.Array) -> jax.Array:
+    """(3, 3, C, C) -> (3, 128 + 2C, 128) width-packed weight stack.
+
+    Row index r = C*e + ci where e in [0, p+2) indexes the input pixel
+    offset d = e-1 relative to the lane tile's first pixel; column index
+    = px*C + co.  Entry = W[ky, e-px, ci, co] when 0 <= e-px <= 2.
+    """
+    kh, kw, c, cout = w.shape
+    assert (kh, kw) == (3, 3) and c == cout, "width-pack needs 3x3, Cin==Cout"
+    p = LANES // c
+    kk = 128 + 2 * c
+    wk = jnp.zeros((3, kk, LANES), w.dtype)
+    for e in range(p + 2):
+        for px in range(p):
+            kx = e - px
+            if 0 <= kx <= 2:
+                wk = wk.at[:, c * e:c * (e + 1),
+                           px * c:(px + 1) * c].set(w[:, kx])
+    return wk
+
+
+def _fwd_kernel(x_ref, x_any, wk_ref, o_ref, halo, sem, *, th, wp, c):
+    """One (batch n, row-tile i) program: 3 dots/ky into an f32 accumulator."""
+    n = pl.program_id(0)
+    i = pl.program_id(1)
+    rows = pl.num_programs(1)
+
+    # ---- halo rows: row i*th-1 (top) and i*th+th (bottom), zero at edges
+    halo[:] = jnp.zeros(halo.shape, halo.dtype)
+
+    @pl.when(i > 0)
+    def _():
+        cp = pltpu.make_async_copy(
+            x_any.at[n, pl.ds(i * th - 1, 1)], halo.at[0], sem.at[0])
+        cp.start()
+        cp.wait()
+
+    @pl.when(i < rows - 1)
+    def _():
+        cp = pltpu.make_async_copy(
+            x_any.at[n, pl.ds(i * th + th, 1)], halo.at[1], sem.at[1])
+        cp.start()
+        cp.wait()
+
+    body = x_ref[0]                                   # (th, wp, 128)
+    xh = jnp.concatenate([halo[0], body, halo[1]], axis=0)  # (th+2, wp, 128)
+
+    zc = jnp.zeros((th, 1, c), xh.dtype)
+    acc = jnp.zeros((th * wp, LANES), jnp.float32)
+    for ky in range(3):
+        xs = xh[ky:ky + th]                           # (th, wp, 128)
+        # packed-col -1 spill: last C channels of the left neighbour tile
+        left = jnp.concatenate([zc, xs[:, :-1, LANES - c:]], axis=1)
+        # packed-col +1 spill: first C channels of the right neighbour tile
+        right = jnp.concatenate([xs[:, 1:, :c], zc], axis=1)
+        pk = jnp.concatenate([left, xs, right], axis=-1)  # (th, wp, 128+2c)
+        acc = acc + jnp.dot(pk.reshape(th * wp, LANES + 2 * c),
+                            wk_ref[ky],
+                            preferred_element_type=jnp.float32)
+    o_ref[0] = acc.reshape(th, wp, LANES).astype(o_ref.dtype)
+
+
+def _conv3x3_wp_fwd_impl(x: jax.Array, wk: jax.Array) -> jax.Array:
+    n, h, w, c = x.shape
+    p = LANES // c
+    wp = w // p
+    th = _tile_rows(h)
+    xp = x.reshape(n, h, wp, LANES)
+    kern = functools.partial(_fwd_kernel, th=th, wp=wp, c=c)
+    yp = pl.pallas_call(
+        kern,
+        grid=(n, h // th),
+        in_specs=[
+            pl.BlockSpec((1, th, wp, LANES), lambda nn, ii: (nn, ii, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((3, LANES + 2 * c, LANES),
+                         lambda nn, ii: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, th, wp, LANES),
+                               lambda nn, ii: (nn, ii, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, h, wp, LANES), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, 1, wp, LANES), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * h * wp * 3 * (LANES + 2 * c) * LANES,
+            bytes_accessed=2 * (2 * n * h * wp * LANES) + wk.size * 2,
+            transcendentals=0,
+        ),
+        interpret=_INTERPRET,
+    )(xp, xp, wk)
+    return yp.reshape(n, h, w, c)
+
+
+def _dw_kernel(x_ref, g_ref, x_any, dw_ref, halo, sem, *, th, wp, c):
+    """Accumulate the packed weight-grad: dWk[ky] += Pk(ky)^T @ G."""
+    n = pl.program_id(0)
+    i = pl.program_id(1)
+    rows = pl.num_programs(1)
+
+    @pl.when(jnp.logical_and(n == 0, i == 0))
+    def _():
+        dw_ref[:] = jnp.zeros(dw_ref.shape, dw_ref.dtype)
+
+    halo[:] = jnp.zeros(halo.shape, halo.dtype)
+
+    @pl.when(i > 0)
+    def _():
+        cp = pltpu.make_async_copy(
+            x_any.at[n, pl.ds(i * th - 1, 1)], halo.at[0], sem.at[0])
+        cp.start()
+        cp.wait()
+
+    @pl.when(i < rows - 1)
+    def _():
+        cp = pltpu.make_async_copy(
+            x_any.at[n, pl.ds(i * th + th, 1)], halo.at[1], sem.at[1])
+        cp.start()
+        cp.wait()
+
+    body = x_ref[0]
+    xh = jnp.concatenate([halo[0], body, halo[1]], axis=0)
+    g2 = g_ref[0].reshape(th * wp, LANES)
+
+    zc = jnp.zeros((th, 1, c), xh.dtype)
+    for ky in range(3):
+        xs = xh[ky:ky + th]
+        left = jnp.concatenate([zc, xs[:, :-1, LANES - c:]], axis=1)
+        right = jnp.concatenate([xs[:, 1:, :c], zc], axis=1)
+        pk = jnp.concatenate([left, xs, right], axis=-1)
+        dw_ref[ky] += jax.lax.dot_general(
+            pk.reshape(th * wp, LANES + 2 * c), g2,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+
+def _conv3x3_wp_dw_impl(x: jax.Array, g: jax.Array, c: int) -> jax.Array:
+    """Packed weight grad (3, 128+2C, 128) f32; unpack via unpack_dw."""
+    n, h, w, _ = x.shape
+    p = LANES // c
+    wp = w // p
+    th = _tile_rows(h)
+    xp = x.reshape(n, h, wp, LANES)
+    gp = g.reshape(n, h, wp, LANES)
+    kern = functools.partial(_dw_kernel, th=th, wp=wp, c=c)
+    return pl.pallas_call(
+        kern,
+        grid=(n, h // th),
+        in_specs=[
+            pl.BlockSpec((1, th, wp, LANES), lambda nn, ii: (nn, ii, 0, 0)),
+            pl.BlockSpec((1, th, wp, LANES), lambda nn, ii: (nn, ii, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((3, LANES + 2 * c, LANES),
+                               lambda nn, ii: (0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((3, LANES + 2 * c, LANES),
+                                       jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, 1, wp, LANES), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n * h * wp * 3 * (LANES + 2 * c) * LANES,
+            bytes_accessed=2 * (2 * n * h * wp * LANES),
+            transcendentals=0,
+        ),
+        interpret=_INTERPRET,
+    )(xp, gp, xp)
+
+
+def unpack_dw(dwk: jax.Array, c: int, dtype) -> jax.Array:
+    """(3, 128+2C, 128) packed weight-grad -> (3, 3, C, C).
+
+    Each W[ky, kx, ci, co] contributed to every (e, px) with e - px = kx;
+    the adjoint sums those cells back.
+    """
+    p = LANES // c
+    dw = jnp.zeros((3, 3, c, c), jnp.float32)
+    for e in range(p + 2):
+        for px in range(p):
+            kx = e - px
+            if 0 <= kx <= 2:
+                dw = dw.at[:, kx].add(
+                    dwk[:, c * e:c * (e + 1), px * c:(px + 1) * c])
+    return dw.astype(dtype)
+
+
+# Interpreter toggle for CPU correctness tests (set before trace)
+_INTERPRET = False
+
+
+def set_interpret(on: bool) -> None:
+    global _INTERPRET
+    _INTERPRET = bool(on)
+    jax.clear_caches()
+
+
+@jax.custom_vjp
+def conv3x3_wp(x: jax.Array, w: jax.Array) -> jax.Array:
+    """3x3 SAME stride-1 conv, NHWC, Cin==Cout in {32, 64} — width-packed
+    Pallas forward and backward (see module docstring)."""
+    return _conv3x3_wp_fwd_impl(x, pack_weights(w).astype(x.dtype))
+
+
+def _wp_fwd(x, w):
+    return conv3x3_wp(x, w), (x, w)
+
+
+def _wp_bwd(res, g):
+    x, w = res
+    c = x.shape[-1]
+    # dX: correlation of g with the spatially-flipped, channel-transposed
+    # kernel — the same forward kernel on transformed weights.
+    w_flip = jnp.transpose(w[::-1, ::-1], (0, 1, 3, 2))
+    dx = _conv3x3_wp_fwd_impl(g, pack_weights(w_flip).astype(g.dtype))
+    dwk = _conv3x3_wp_dw_impl(x, g, c)
+    return dx, unpack_dw(dwk, c, w.dtype)
+
+
+conv3x3_wp.defvjp(_wp_fwd, _wp_bwd)
