@@ -71,6 +71,26 @@ class TestWidthPackedConv:
         rhs = jnp.sum(pc.unpack_dw(dwk, c, jnp.float32) * wt)
         assert jnp.allclose(lhs, rhs, rtol=1e-5)
 
+    def test_vmap_composes(self):
+        # vmap_whitebox maps the attack step over the batch with the model
+        # params broadcast — the kernel must batch correctly under vmap
+        n, h, w, c = 1, 16, 8, 32
+        xs = jax.random.normal(jax.random.key(0), (3, n, h, w, c))
+        wt = jax.random.normal(jax.random.key(1), (3, 3, c, c)) * 0.1
+        g = jax.random.normal(jax.random.key(2), (3, n, h, w, c))
+
+        def tot(fn):
+            return lambda a, b: jnp.sum(
+                jax.vmap(fn, in_axes=(0, None))(a, b) * g)
+
+        y = jax.vmap(pc.conv3x3_wp, in_axes=(0, None))(xs, wt)
+        yr = jax.vmap(_ref_conv, in_axes=(0, None))(xs, wt)
+        assert jnp.allclose(y, yr, atol=1e-4, rtol=1e-4)
+        dx, dw = jax.grad(tot(pc.conv3x3_wp), (0, 1))(xs, wt)
+        dxr, dwr = jax.grad(tot(_ref_conv), (0, 1))(xs, wt)
+        assert jnp.allclose(dx, dxr, atol=1e-4, rtol=1e-4)
+        assert jnp.allclose(dw, dwr, atol=1e-4, rtol=1e-4)
+
     def test_modconv_wp_path_matches_default(self):
         from tpufusion.ops import modconv
 
