@@ -82,44 +82,61 @@ def pack_weights(w: jax.Array) -> jax.Array:
     return wk
 
 
+def _row_dot(xs, wk_row, *, th, wp, c, acc):
+    """One kernel-row contribution: build the (th, wp, 128+2C) packed
+    operand (left/right lane-tile spills via zero-concat = SAME padding)
+    and accumulate its dot with the (128+2C, 128) weight row."""
+    zc = jnp.zeros((th, 1, c), xs.dtype)
+    left = jnp.concatenate([zc, xs[:, :-1, LANES - c:]], axis=1)
+    right = jnp.concatenate([xs[:, 1:, :c], zc], axis=1)
+    pk = jnp.concatenate([left, xs, right], axis=-1)
+    return acc + jnp.dot(pk.reshape(th * wp, LANES + 2 * c), wk_row,
+                         preferred_element_type=jnp.float32)
+
+
 def _fwd_kernel(x_ref, x_any, wk_ref, o_ref, halo, sem, *, th, wp, c):
-    """One (batch n, row-tile i) program: 3 dots/ky into an f32 accumulator."""
+    """One (batch n, row-tile i) program: 3 dots/ky into an f32 accumulator.
+
+    The two halo-row DMAs are started first and waited only after the
+    middle kernel row (which needs no halo) has been computed — the body
+    block itself arrives through the pipelined BlockSpec."""
     n = pl.program_id(0)
     i = pl.program_id(1)
     rows = pl.num_programs(1)
 
-    # ---- halo rows: row i*th-1 (top) and i*th+th (bottom), zero at edges
+    # halo rows: row i*th-1 (top) and i*th+th (bottom), zero at the edges
     halo[:] = jnp.zeros(halo.shape, halo.dtype)
+    top = pltpu.make_async_copy(
+        x_any.at[n, pl.ds(jnp.maximum(i * th - 1, 0), 1)], halo.at[0],
+        sem.at[0])
+    bot = pltpu.make_async_copy(
+        x_any.at[n, pl.ds(jnp.minimum(i * th + th, rows * th - 1), 1)],
+        halo.at[1], sem.at[1])
 
     @pl.when(i > 0)
     def _():
-        cp = pltpu.make_async_copy(
-            x_any.at[n, pl.ds(i * th - 1, 1)], halo.at[0], sem.at[0])
-        cp.start()
-        cp.wait()
+        top.start()
 
     @pl.when(i < rows - 1)
     def _():
-        cp = pltpu.make_async_copy(
-            x_any.at[n, pl.ds(i * th + th, 1)], halo.at[1], sem.at[1])
-        cp.start()
-        cp.wait()
+        bot.start()
 
     body = x_ref[0]                                   # (th, wp, 128)
-    xh = jnp.concatenate([halo[0], body, halo[1]], axis=0)  # (th+2, wp, 128)
-
-    zc = jnp.zeros((th, 1, c), xh.dtype)
+    # ky=1 (middle row) reads only the body — compute it while DMAs fly
     acc = jnp.zeros((th * wp, LANES), jnp.float32)
-    for ky in range(3):
-        xs = xh[ky:ky + th]                           # (th, wp, 128)
-        # packed-col -1 spill: last C channels of the left neighbour tile
-        left = jnp.concatenate([zc, xs[:, :-1, LANES - c:]], axis=1)
-        # packed-col +1 spill: first C channels of the right neighbour tile
-        right = jnp.concatenate([xs[:, 1:, :c], zc], axis=1)
-        pk = jnp.concatenate([left, xs, right], axis=-1)  # (th, wp, 128+2c)
-        acc = acc + jnp.dot(pk.reshape(th * wp, LANES + 2 * c),
-                            wk_ref[ky],
-                            preferred_element_type=jnp.float32)
+    acc = _row_dot(body, wk_ref[1], th=th, wp=wp, c=c, acc=acc)
+
+    @pl.when(i > 0)
+    def _():
+        top.wait()
+
+    @pl.when(i < rows - 1)
+    def _():
+        bot.wait()
+
+    xh = jnp.concatenate([halo[0], body, halo[1]], axis=0)  # (th+2, wp, 128)
+    acc = _row_dot(xh[:th], wk_ref[0], th=th, wp=wp, c=c, acc=acc)
+    acc = _row_dot(xh[2:], wk_ref[2], th=th, wp=wp, c=c, acc=acc)
     o_ref[0] = acc.reshape(th, wp, LANES).astype(o_ref.dtype)
 
 
@@ -167,28 +184,26 @@ def _dw_kernel(x_ref, g_ref, x_any, dw_ref, halo, sem, *, th, wp, c):
         dw_ref[:] = jnp.zeros(dw_ref.shape, dw_ref.dtype)
 
     halo[:] = jnp.zeros(halo.shape, halo.dtype)
+    top = pltpu.make_async_copy(
+        x_any.at[n, pl.ds(jnp.maximum(i * th - 1, 0), 1)], halo.at[0],
+        sem.at[0])
+    bot = pltpu.make_async_copy(
+        x_any.at[n, pl.ds(jnp.minimum(i * th + th, rows * th - 1), 1)],
+        halo.at[1], sem.at[1])
 
     @pl.when(i > 0)
     def _():
-        cp = pltpu.make_async_copy(
-            x_any.at[n, pl.ds(i * th - 1, 1)], halo.at[0], sem.at[0])
-        cp.start()
-        cp.wait()
+        top.start()
 
     @pl.when(i < rows - 1)
     def _():
-        cp = pltpu.make_async_copy(
-            x_any.at[n, pl.ds(i * th + th, 1)], halo.at[1], sem.at[1])
-        cp.start()
-        cp.wait()
+        bot.start()
 
     body = x_ref[0]
-    xh = jnp.concatenate([halo[0], body, halo[1]], axis=0)
     g2 = g_ref[0].reshape(th * wp, LANES)
 
-    zc = jnp.zeros((th, 1, c), xh.dtype)
-    for ky in range(3):
-        xs = xh[ky:ky + th]
+    def ky_dot(xs, ky):
+        zc = jnp.zeros((th, 1, c), xs.dtype)
         left = jnp.concatenate([zc, xs[:, :-1, LANES - c:]], axis=1)
         right = jnp.concatenate([xs[:, 1:, :c], zc], axis=1)
         pk = jnp.concatenate([left, xs, right], axis=-1)
@@ -197,6 +212,20 @@ def _dw_kernel(x_ref, g_ref, x_any, dw_ref, halo, sem, *, th, wp, c):
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+
+    ky_dot(body, 1)  # middle row needs no halo — overlaps the DMAs
+
+    @pl.when(i > 0)
+    def _():
+        top.wait()
+
+    @pl.when(i < rows - 1)
+    def _():
+        bot.wait()
+
+    xh = jnp.concatenate([halo[0], body, halo[1]], axis=0)
+    ky_dot(xh[:th], 0)
+    ky_dot(xh[2:], 2)
 
 
 def _conv3x3_wp_dw_impl(x: jax.Array, g: jax.Array, c: int) -> jax.Array:
