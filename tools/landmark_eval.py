@@ -107,6 +107,9 @@ def main(argv=None) -> int:
                    help="aligned-face montages for the real-face sanity "
                         "pass (default: the reference's committed input "
                         "rows; 'none' to skip)")
+    p.add_argument("--augment", action="store_true",
+                   help="photometric/background augmentation of the "
+                        "synthetic training faces (real-photo transfer)")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (the axon TPU plugin "
                         "ignores JAX_PLATFORMS; this calls "
@@ -141,7 +144,8 @@ def main(argv=None) -> int:
     else:
         rng = np.random.RandomState(0)
         t0 = time.time()
-        imgs, lms = synth_face_batch(rng, args.train, args.size)
+        imgs, lms = synth_face_batch(rng, args.train, args.size,
+                                     augment=args.augment)
         print(f"[landmark_eval] {args.train} synthetic faces in "
               f"{time.time() - t0:.1f}s", file=sys.stderr)
 
@@ -153,7 +157,8 @@ def main(argv=None) -> int:
         print(f"[landmark_eval] trained {args.steps} steps in "
               f"{time.time() - t0:.1f}s (loss {float(trace[0]):.5f} -> "
               f"{float(trace[-1]):.5f})", file=sys.stderr)
-        metrics = {"train_faces": args.train, "train_steps": args.steps}
+        metrics = {"train_faces": args.train, "train_steps": args.steps,
+                   "augment": args.augment}
 
     metrics.update(evaluate_landmark_net(net, variables, n=args.eval,
                                          size=args.size))

@@ -108,13 +108,48 @@ def _canonical_template() -> np.ndarray:
     return t
 
 
-def synth_face_batch(rng: np.random.RandomState, n: int, size: int
+def _photometric_augment(img: np.ndarray, rng: np.random.RandomState,
+                         yy: np.ndarray, xx: np.ndarray,
+                         pts: np.ndarray) -> np.ndarray:
+    """Close some of the sketch→photo appearance gap (r4: the real-face
+    sanity pass showed the plain sketches do not transfer): random low-freq
+    background instead of flat black, a dark hair band above the brows,
+    per-channel gain/bias, additive noise, and an occasional box blur."""
+    size = img.shape[0]
+    # background: smooth random field where the face is dark (img ~ -1)
+    g = rng.uniform(-1.0, 1.0, (4, 4, 3)).astype(np.float32)
+    bg = np.kron(g, np.ones((size // 4, size // 4, 1), np.float32))
+    for _ in range(2):  # cheap separable smoothing
+        bg = (bg + np.roll(bg, 1, 0) + np.roll(bg, -1, 0)
+              + np.roll(bg, 1, 1) + np.roll(bg, -1, 1)) / 5.0
+    mask = (img.mean(-1, keepdims=True) + 1.0) * 0.5  # 0 = background
+    img = img * mask + bg * (1.0 - mask)
+    # hair: dark wide blob above the brow line
+    hc = pts[17:27].mean(axis=0) - np.array([0.0, 0.18], np.float32)
+    blob = np.exp(-(((xx - hc[0]) / 0.30) ** 2 + ((yy - hc[1]) / 0.16) ** 2))
+    hair = rng.uniform(-1.0, -0.2, 3).astype(np.float32)
+    img = img * (1 - blob[..., None]) + hair * blob[..., None]
+    # photometric jitter + sensor noise
+    gain = rng.uniform(0.6, 1.1, 3).astype(np.float32)
+    bias = rng.uniform(-0.25, 0.25, 3).astype(np.float32)
+    img = img * gain + bias
+    img = img + rng.normal(0.0, rng.uniform(0.02, 0.12), img.shape)
+    if rng.uniform() < 0.3:
+        img = (img + np.roll(img, 1, 0) + np.roll(img, -1, 0)
+               + np.roll(img, 1, 1) + np.roll(img, -1, 1)) / 5.0
+    return img.astype(np.float32)
+
+
+def synth_face_batch(rng: np.random.RandomState, n: int, size: int,
+                     augment: bool = False
                      ) -> Tuple[np.ndarray, np.ndarray]:
     """Render n synthetic faces + ground-truth landmarks.
 
     Faces are blob sketches (skin disc, dark eyes, mouth bar) under a random
     similarity transform; landmarks are the transformed canonical template in
     [0,1] coords.  Enough signal to train/validate the provider end-to-end.
+    ``augment=True`` adds photometric/background augmentation for real-photo
+    transfer (see :func:`_photometric_augment`).
     """
     tpl = _canonical_template()
     imgs = np.full((n, size, size, 3), -1.0, np.float32)
@@ -142,6 +177,8 @@ def synth_face_batch(rng: np.random.RandomState, n: int, size: int
                           / (2 * (rad * scale) ** 2))
             for ch in range(3):
                 img[..., ch] = img[..., ch] * (1 - blob) + col[ch] * blob
+        if augment:
+            img = _photometric_augment(img, rng, yy, xx, pts)
         imgs[i] = np.clip(img, -1.0, 1.0)
     return imgs, lms
 
