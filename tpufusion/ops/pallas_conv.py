@@ -152,7 +152,7 @@ def _conv3x3_wp_fwd_impl(x: jax.Array, wk: jax.Array) -> jax.Array:
         grid=(n, h // th),
         in_specs=[
             pl.BlockSpec((1, th, wp, LANES), lambda nn, ii: (nn, ii, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((3, LANES + 2 * c, LANES),
                          lambda nn, ii: (0, 0, 0)),
         ],
@@ -243,7 +243,7 @@ def _conv3x3_wp_dw_impl(x: jax.Array, g: jax.Array, c: int) -> jax.Array:
         in_specs=[
             pl.BlockSpec((1, th, wp, LANES), lambda nn, ii: (nn, ii, 0, 0)),
             pl.BlockSpec((1, th, wp, LANES), lambda nn, ii: (nn, ii, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((3, LANES + 2 * c, LANES),
                                lambda nn, ii: (0, 0, 0)),
