@@ -71,7 +71,6 @@ _FREE_OPS = {"parameter", "constant", "iota", "after-all", "partition-id",
              "async-done", "while"}
 # data-movement starts with special charging rules (see _charge below)
 _START_OPS = {"copy-start", "async-start"}
-_SLICE_OPS = {"dynamic-slice", "dynamic-update-slice"}
 
 
 def _components(type_str: str):
@@ -226,20 +225,30 @@ def hbm_traffic_breakdown(hlo_text: str, top: int = 25) -> dict:
                     charge_read(operands[0], res_b)
                 continue
             if opcode == "dynamic-slice":
-                # reads only the slice extent from the source buffer
+                # reads only the slice extent from the source buffer — the
+                # extent is the result's TOTAL bytes regardless of where the
+                # result lands (an S(1)/VMEM result must not fall back to a
+                # full-source read via `hbm_out or None` collapsing 0)
+                extent = _shape_bytes(type_str)
                 defs[name] = (_norm_shape(type_str), hbm_out, hbm_out, opcode)
-                if operands:
-                    charge_read(operands[0], hbm_out or None)
+                if operands and extent:
+                    charge_read(operands[0], extent)
                 for op in operands[1:]:
                     charge_read(op)
                 continue
             if opcode == "dynamic-update-slice":
-                # in place: write = update bytes; the big operand aliases
-                # through (no full-buffer rewrite, no full-buffer read)
+                # in place: write = the update operand's EXTENT into the dest
+                # (zero only if the dest itself is on-chip); the big operand
+                # aliases through (no full-buffer rewrite, no full-buffer
+                # read).  The extent comes from the update's shape — its
+                # per-consumer read bytes would be 0 for a VMEM-resident
+                # update even though the HBM dest is still written.
                 upd = operands[1] if len(operands) > 1 else None
                 upd_t = alias.get(upd, upd)
-                upd_b = defs[upd_t][1] if upd_t in defs else hbm_out
-                defs[name] = (_norm_shape(type_str), hbm_out, upd_b, opcode)
+                upd_b = (_shape_bytes(defs[upd_t][0]) if upd_t in defs
+                         else hbm_out)
+                defs[name] = (_norm_shape(type_str), hbm_out,
+                              upd_b if hbm_out else 0, opcode)
                 for op in operands[1:]:
                     charge_read(op)
                 continue

@@ -410,6 +410,15 @@ class TestLegacyOptimize:
         with _pytest.raises(ValueError):
             self._run(pipeline, "nope")
 
+    def test_snapshot_every_zero_disables(self, pipeline):
+        """snapshot_every=0 mirrors WhiteboxConfig (no ZeroDivisionError):
+        full trace, zero-length snapshot axis."""
+        (adv, trace, snaps), img = self._run(pipeline, "optimize",
+                                             n_iters=4, every=0)
+        assert snaps.shape[0] == 0
+        assert trace["total"].shape == (4,)
+        assert float(jnp.max(jnp.abs(adv - img))) > 0.0
+
 
 class TestWhiteboxSnapshots:
     """Mid-run observability (VERDICT r3 ask #5): the reference's

@@ -115,6 +115,45 @@ ENTRY %main (p.1: f32[64,256], p.3: f32[1,256]) -> f32[64,256] {
         # update read (1KB) + update write (1KB); no 64KB rewrite of p.1
         assert abs(total - 2 * 256 * 4) < 1e3  # total_gb is rounded to 1 KB
 
+    def test_dynamic_slice_vmem_result_still_charges_slice_read(self):
+        """A dynamic-slice whose RESULT lands in VMEM (S(1)) still reads
+        only the slice extent from the HBM source — `hbm_out or None`
+        collapsing 0 used to fall back to a FULL source-buffer read."""
+        hlo = """
+HloModule test
+
+ENTRY %main (p.1: f32[64,256], p.2: s32[]) -> f32[1,256] {
+  %p.1 = f32[64,256]{1,0} parameter(0)
+  %p.2 = s32[]{:S(2)} parameter(1)
+  %c.0 = s32[]{:S(2)} constant(0)
+  ROOT %dynamic-slice.1 = f32[1,256]{1,0:S(1)} dynamic-slice(%p.1, %p.2, %c.0), dynamic_slice_sizes={1,256}
+}
+"""
+        b = hbm_traffic_breakdown(hlo)
+        total = b["total_gb"] * 1e9
+        # slice read (1KB) only: the VMEM result write is free, and the
+        # read must NOT be the 64KB source buffer
+        assert abs(total - 256 * 4) < 1e3  # total_gb is rounded to 1 KB
+
+    def test_dus_vmem_update_still_charges_hbm_write(self):
+        """A dynamic-update-slice whose UPDATE operand is VMEM-resident
+        still writes the update extent into the HBM destination — deriving
+        the write from the update's per-consumer READ bytes charged 0."""
+        hlo = """
+HloModule test
+
+ENTRY %main (p.1: f32[64,256], p.3: f32[1,256]) -> f32[64,256] {
+  %p.1 = f32[64,256]{1,0} parameter(0)
+  %p.3 = f32[1,256]{1,0:S(1)} parameter(1)
+  %c.0 = s32[]{:S(2)} constant(0)
+  ROOT %dynamic-update-slice.1 = f32[64,256]{1,0} dynamic-update-slice(%p.1, %p.3, %c.0, %c.0)
+}
+"""
+        b = hbm_traffic_breakdown(hlo)
+        total = b["total_gb"] * 1e9
+        # update write into HBM dest (1KB); the VMEM update read is free
+        assert abs(total - 256 * 4) < 1e3  # total_gb is rounded to 1 KB
+
     def test_async_slice_charges_result_bytes(self):
         hlo = """
 HloModule test

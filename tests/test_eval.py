@@ -165,6 +165,27 @@ class TestResultsTable:
         assert rrows == [[float(v) if isinstance(v, int) else v
                           for v in row]]
 
+    def test_stdlib_xlsx_nonfinite_and_numpy_scalars(self, tmp_path):
+        """NaN/inf must not produce invalid <v>nan</v> SpreadsheetML (a
+        diverged attack's metric row would corrupt new_mask.xlsx), and
+        numpy scalars must load back as NUMBERS, not inline strings."""
+        import zipfile
+        from xml.etree import ElementTree as ET
+
+        from tpufusion.io.xlsx import read_xlsx, write_xlsx
+
+        row = [np.float32(0.5), np.int64(7), float("nan"), float("inf"), 1.25]
+        path = write_xlsx(str(tmp_path / "nf.xlsx"), list("abcde"), [row])
+        # the sheet XML parses and carries no non-finite <v> text
+        with zipfile.ZipFile(path) as z:
+            sheet = z.read("xl/worksheets/sheet1.xml").decode()
+        ET.fromstring(sheet)
+        assert "nan" not in sheet and "inf" not in sheet
+        _, rows = read_xlsx(path)
+        assert rows[0][0] == 0.5 and rows[0][1] == 7.0 and rows[0][4] == 1.25
+        assert isinstance(rows[0][0], float) and isinstance(rows[0][1], float)
+        assert rows[0][2] == "" and rows[0][3] == ""  # blank cells
+
     def test_wrong_length_raises(self):
         t = ResultsTable(n_inputs=2)
         with pytest.raises(ValueError):

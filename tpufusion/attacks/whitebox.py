@@ -37,6 +37,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from tpufusion.core.imaging import avg_pool
@@ -319,7 +320,9 @@ def vmap_whitebox(pipeline: FusionPipeline, config: WhiteboxConfig):
 def vmap_whitebox_stepwise(pipeline: FusionPipeline, config: WhiteboxConfig):
     """Per-image (vmapped) stepwise attack: one vmapped single-image step
     program + an async host loop — exact per-image Adam trajectories like
-    ``vmap_whitebox`` but with a small compiled unit."""
+    ``vmap_whitebox`` but with a small compiled unit.  Snapshots (when
+    ``config.snapshot_every`` is set) are streamed to host numpy arrays, so
+    this is the bounded-device-memory execution for snapshot runs."""
     init, step = make_whitebox_stepper(pipeline, config)
     params = _model_params(pipeline)
 
@@ -345,11 +348,18 @@ def vmap_whitebox_stepwise(pipeline: FusionPipeline, config: WhiteboxConfig):
             traces.append(terms)
             if every and (it + 1) % every == 0:
                 x = state["x"][:, 0]
-                snaps.append(dict(adv_input=x, rec=rec_of(params, x)))
+                # fetch each frame to HOST as it is produced (the reference
+                # streams save_img PNGs, `attack_main2.py:657-661`): device
+                # memory stays bounded by the live state, not by
+                # n_snap × batch × image — at 1024² batch-8 every-5/100-iter
+                # that is ~3.8 GB of f32 frames the scan path must carry
+                snaps.append(dict(
+                    adv_input=np.asarray(x, np.float32),
+                    rec=np.asarray(rec_of(params, x), np.float32)))
         trace = jax.tree.map(lambda *xs: jnp.stack(xs, axis=1), *traces)
         if every:
             return (state["x"][:, 0], trace,
-                    jax.tree.map(lambda *xs: jnp.stack(xs), *snaps))
+                    jax.tree.map(lambda *xs: np.stack(xs), *snaps))
         return state["x"][:, 0], trace
 
     return attack
@@ -385,7 +395,8 @@ def make_legacy_optimize(pipeline: FusionPipeline, lpips_model, lpips_vars,
     reconstruction against the target's own reconstruction ``target_rec``.
 
     Returns ``attack(img, target_img) -> (adv, trace, snapshots)`` where
-    ``snapshots`` is (n_iters // snapshot_every, *img.shape) — the frames
+    ``snapshots`` is (n_iters // snapshot_every, *img.shape) — zero-length
+    leading axis when ``snapshot_every`` is 0/None — the frames
     the reference concatenates into ``optimize.png`` (`:719-720`).  The
     whole loop runs as nested ``lax.scan``s (outer = snapshot cadence), so
     snapshots come out of ONE compiled program instead of 20 host syncs.
@@ -397,8 +408,11 @@ def make_legacy_optimize(pipeline: FusionPipeline, lpips_model, lpips_vars,
     factor = pipeline.pool_factor
     opt = optax.adam(config.lr)
     copy_variant = config.variant == "optimize_copy"
-    every = int(config.snapshot_every)
-    n_snap, rem = divmod(config.n_iters, every)
+    # snapshot_every=0/None disables snapshots (mirrors WhiteboxConfig):
+    # one chunk of all iters, zero-length snapshot axis
+    every = int(config.snapshot_every or 0)
+    n_snap, rem = divmod(config.n_iters, every) if every else (0,
+                                                               config.n_iters)
 
     def loss_fn(params, x, ref):
         r_x = avg_pool(x, factor)

@@ -11,6 +11,8 @@ any conforming reader (pandas, Excel, LibreOffice) loads it.
 
 from __future__ import annotations
 
+import math
+import numbers
 import zipfile
 from typing import Iterable, Sequence
 
@@ -69,8 +71,15 @@ def _esc(s: str) -> str:
 def _cell(ref: str, value) -> str:
     if isinstance(value, bool):  # bool is an int subclass — keep it textual
         return f'<c r="{ref}" t="inlineStr"><is><t>{value}</t></is></c>'
-    if isinstance(value, (int, float)):
-        return f'<c r="{ref}"><v>{value!r}</v></c>'
+    # numbers.Real admits numpy scalars (np.float32/np.int64 register as
+    # Real/Integral) — isinstance(int, float) alone would stringify them
+    if isinstance(value, numbers.Integral):
+        return f'<c r="{ref}"><v>{int(value)!r}</v></c>'
+    if isinstance(value, numbers.Real):
+        f = float(value)
+        if not math.isfinite(f):  # <v>nan</v> is invalid SpreadsheetML;
+            return f'<c r="{ref}"/>'  # blank cell, like pandas.to_excel
+        return f'<c r="{ref}"><v>{f!r}</v></c>'
     return (f'<c r="{ref}" t="inlineStr"><is>'
             f"<t>{_esc(str(value))}</t></is></c>")
 

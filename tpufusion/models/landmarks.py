@@ -116,9 +116,11 @@ def _photometric_augment(img: np.ndarray, rng: np.random.RandomState,
     background instead of flat black, a dark hair band above the brows,
     per-channel gain/bias, additive noise, and an occasional box blur."""
     size = img.shape[0]
-    # background: smooth random field where the face is dark (img ~ -1)
+    # background: smooth random field where the face is dark (img ~ -1);
+    # upsample by repeat + crop so any size works (kron needs size % 4 == 0)
     g = rng.uniform(-1.0, 1.0, (4, 4, 3)).astype(np.float32)
-    bg = np.kron(g, np.ones((size // 4, size // 4, 1), np.float32))
+    rep = -(-size // 4)  # ceil
+    bg = np.repeat(np.repeat(g, rep, axis=0), rep, axis=1)[:size, :size]
     for _ in range(2):  # cheap separable smoothing
         bg = (bg + np.roll(bg, 1, 0) + np.roll(bg, -1, 0)
               + np.roll(bg, 1, 1) + np.roll(bg, -1, 1)) / 5.0

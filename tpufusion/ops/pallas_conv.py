@@ -82,15 +82,22 @@ def pack_weights(w: jax.Array) -> jax.Array:
     return wk
 
 
-def _row_dot(xs, wk_row, *, th, wp, c, acc):
-    """One kernel-row contribution: build the (th, wp, 128+2C) packed
-    operand (left/right lane-tile spills via zero-concat = SAME padding)
-    and accumulate its dot with the (128+2C, 128) weight row."""
+def _pack_lanes(xs, *, th, wp, c):
+    """Build the (th*wp, 128+2C) packed operand for one kernel row: the
+    body lane tile plus its left/right lane-tile spills (zero-concat at the
+    tile edges = SAME padding).  THE layout invariant of this file — the
+    forward/input-grad dot and the weight-grad dot must pack identically
+    (pack_weights / unpack_dw index math is its adjoint)."""
     zc = jnp.zeros((th, 1, c), xs.dtype)
     left = jnp.concatenate([zc, xs[:, :-1, LANES - c:]], axis=1)
     right = jnp.concatenate([xs[:, 1:, :c], zc], axis=1)
     pk = jnp.concatenate([left, xs, right], axis=-1)
-    return acc + jnp.dot(pk.reshape(th * wp, LANES + 2 * c), wk_row,
+    return pk.reshape(th * wp, LANES + 2 * c)
+
+
+def _row_dot(xs, wk_row, *, th, wp, c, acc):
+    """One kernel-row contribution: packed operand @ (128+2C, 128) row."""
+    return acc + jnp.dot(_pack_lanes(xs, th=th, wp=wp, c=c), wk_row,
                          preferred_element_type=jnp.float32)
 
 
@@ -203,12 +210,8 @@ def _dw_kernel(x_ref, g_ref, x_any, dw_ref, halo, sem, *, th, wp, c):
     g2 = g_ref[0].reshape(th * wp, LANES)
 
     def ky_dot(xs, ky):
-        zc = jnp.zeros((th, 1, c), xs.dtype)
-        left = jnp.concatenate([zc, xs[:, :-1, LANES - c:]], axis=1)
-        right = jnp.concatenate([xs[:, 1:, :c], zc], axis=1)
-        pk = jnp.concatenate([left, xs, right], axis=-1)
         dw_ref[ky] += jax.lax.dot_general(
-            pk.reshape(th * wp, LANES + 2 * c), g2,
+            _pack_lanes(xs, th=th, wp=wp, c=c), g2,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )

@@ -257,7 +257,11 @@ def dispatch_attack(
             weights=(PRESET_INTERPOLATION
                      if cfg.whitebox_preset == "interpolation"
                      else PRESET_ATTACK_MAIN),
-            execution=cfg.whitebox_execution,
+            # snapshot runs stream frames to host via the stepwise executor
+            # (the reference's save_img loop is host-streamed too); the scan
+            # path would carry every frame as a stacked scan output —
+            # ~3.8 GB extra HBM at 1024² batch-8 every-5/100-iters
+            execution="stepwise" if snap_every else cfg.whitebox_execution,
             snapshot_every=snap_every,
         )
         if attack == "white_box_patch":
