@@ -162,6 +162,16 @@ def main(argv=None) -> int:
 
     metrics.update(evaluate_landmark_net(net, variables, n=args.eval,
                                          size=args.size))
+    if args.augment or args.weights:
+        # like-for-like held-out eval on AUGMENTED faces (plain sketches are
+        # out-of-distribution for an augment-trained net); reported for
+        # plain-trained nets too so the two training modes are comparable
+        aug = evaluate_landmark_net(net, variables, n=args.eval,
+                                    size=args.size, augment=True)
+        metrics["augmented_eval"] = {
+            k: aug[k] for k in ("mean_landmark_err_px_at_256",
+                                "mean_quad_drift_px_at_256",
+                                "quad_drift_frac_of_qsize")}
     metrics["width"] = args.width
 
     panels = args.panels if args.panels is not None else [

@@ -269,7 +269,8 @@ def dlib_landmark_provider(predictor_path: str) -> Callable:
 
 
 def evaluate_landmark_net(net: LandmarkNet, variables, *, n: int = 64,
-                          size: int = 128, seed: int = 12345) -> dict:
+                          size: int = 128, seed: int = 12345,
+                          augment: bool = False) -> dict:
     """Quantify the provider on HELD-OUT synthetic faces (VERDICT r2 weak #4).
 
     Reports, normalised to the reference's 256^2 alignment frame:
@@ -280,11 +281,15 @@ def evaluate_landmark_net(net: LandmarkNet, variables, *, n: int = 64,
       ``align_face`` (`utils/alignment.py:29-115` geometry);
     - ``quad_drift_frac_of_qsize``: that drift relative to the crop size
       (scale-free alignment fidelity).
+
+    ``augment=True`` evaluates on photometrically-augmented held-out faces
+    (like-for-like for a net trained with ``augment=True`` — plain sketches
+    are out-of-distribution for it in the opposite direction).
     """
     from tpufusion.data.alignment import alignment_quad
 
     rng = np.random.RandomState(seed)
-    imgs, gt = synth_face_batch(rng, n, size)
+    imgs, gt = synth_face_batch(rng, n, size, augment=augment)
     pred = np.asarray(jax.jit(net.apply)(variables, jnp.asarray(imgs)))
     err = float(np.linalg.norm(pred - gt, axis=-1).mean())  # [0,1] units
     drifts, fracs = [], []
