@@ -103,6 +103,9 @@ def main(argv=None) -> int:
     p.add_argument("--out", default=None, help="save trained weights (.npz)")
     p.add_argument("--weights", default=None,
                    help="load trained weights instead of training")
+    p.add_argument("--packaged", action="store_true",
+                   help="evaluate the net shipped in models/weights/ "
+                        "(reproduces the sidecar metrics)")
     p.add_argument("--panels", nargs="*", default=None,
                    help="aligned-face montages for the real-face sanity "
                         "pass (default: the reference's committed input "
@@ -136,7 +139,15 @@ def main(argv=None) -> int:
         train_landmark_net,
     )
 
-    if args.weights:
+    if args.packaged:
+        from tpufusion.models.landmarks import load_packaged_landmark_net
+
+        net, variables, size = load_packaged_landmark_net()
+        args.size, args.width = size, net.width
+        print(f"[landmark_eval] packaged net (width {net.width}, "
+              f"input {size})", file=sys.stderr)
+        metrics = {"weights_in": "packaged"}
+    elif args.weights:
         net, variables = load_landmark_net(args.weights)
         print(f"[landmark_eval] loaded weights from {args.weights}",
               file=sys.stderr)
@@ -162,7 +173,7 @@ def main(argv=None) -> int:
 
     metrics.update(evaluate_landmark_net(net, variables, n=args.eval,
                                          size=args.size))
-    if args.augment or args.weights:
+    if args.augment or args.weights or args.packaged:
         # like-for-like held-out eval on AUGMENTED faces (plain sketches are
         # out-of-distribution for an augment-trained net); reported for
         # plain-trained nets too so the two training modes are comparable

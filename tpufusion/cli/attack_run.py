@@ -30,10 +30,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="attack names (see tpufusion.configs.ATTACK_CHOICES)")
     p.add_argument("--images_dir", default=None)
     p.add_argument("--align", action="store_true",
-                   help="FFHQ-align raw images before encoding (needs a "
-                        "landmark provider: --landmark_net weights or dlib)")
+                   help="FFHQ-align raw images before encoding (default "
+                        "provider: the packaged trained LandmarkNet; "
+                        "override with --landmark_net or --dlib_predictor)")
     p.add_argument("--landmark_net", default=None,
-                   help="trained LandmarkNet weights (.npz) for --align")
+                   help="trained LandmarkNet weights (.npz) for --align "
+                        "(default: the packaged models/weights net)")
     p.add_argument("--dlib_predictor", default=None,
                    help="dlib shape-predictor .dat for --align (if dlib is "
                         "installed)")

@@ -144,10 +144,12 @@ def make_align_preprocess(landmarks_fn: Callable[[str], np.ndarray],
 def resolve_align_preprocess(landmark_net: str | None,
                              dlib_predictor: str | None,
                              output_size: int = 256):
-    """CLI-level helper: build the align ``preprocess`` hook from either a
-    trained LandmarkNet weights file or a dlib predictor path (shared by
-    ``attack_run --align`` and ``invert --align``).  Raises SystemExit with
-    usage guidance when neither provider is given."""
+    """CLI-level helper: build the align ``preprocess`` hook from a trained
+    LandmarkNet weights file or a dlib predictor path (shared by
+    ``attack_run --align`` and ``invert --align``).  With neither given,
+    falls back to the packaged trained net
+    (``models/weights/landmark_net.npz``) — the analogue of the reference's
+    downloaded dlib model (`paths_config.py:30`)."""
     if landmark_net:
         from tpufusion.models.landmarks import (
             load_landmark_net,
@@ -161,9 +163,7 @@ def resolve_align_preprocess(landmark_net: str | None,
 
         landmarks_fn = dlib_landmark_provider(dlib_predictor)
     else:
-        raise SystemExit(
-            "--align needs --landmark_net <weights.npz> (see "
-            "tpufusion.models.landmarks.train_landmark_net) or "
-            "--dlib_predictor <file.dat>"
-        )
+        from tpufusion.models.landmarks import packaged_landmark_provider
+
+        landmarks_fn = packaged_landmark_provider()
     return make_align_preprocess(landmarks_fn, output_size=output_size)

@@ -8,6 +8,12 @@ from tpufusion.models.fusion_hierarchy import (
     get_all_active_parts,
     TREES,
 )
+from tpufusion.models.landmarks import (
+    LandmarkNet,
+    load_packaged_landmark_net,
+    make_landmark_provider,
+    packaged_landmark_provider,
+)
 from tpufusion.models.resnet import ResNet, convert_resnet18_checkpoint, create_resnet18
 from tpufusion.models.discriminator import (
     Discriminator,

@@ -17,6 +17,11 @@ path needs:
 - :func:`dlib_landmark_provider` — optional import-guarded dlib adapter for
   environments that do have dlib + the shape-predictor file (exact reference
   behaviour, `utils/alignment.py:9-27`).
+- :func:`packaged_landmark_provider` — the above wired to the TRAINED
+  weights shipped in ``models/weights/`` (augment-trained; provenance and
+  measured quality in the JSON sidecar), so alignment works with no
+  training step — the packaged analogue of the reference's downloaded
+  dlib model file.
 """
 
 from __future__ import annotations
@@ -305,6 +310,36 @@ def evaluate_landmark_net(net: LandmarkNet, variables, *, n: int = 64,
         mean_quad_drift_px_at_256=round(float(np.mean(drifts)) * 256, 2),
         quad_drift_frac_of_qsize=round(float(np.mean(fracs)), 4),
     )
+
+
+def load_packaged_landmark_net():
+    """Load the trained landmark net shipped with the package.
+
+    ``models/weights/landmark_net.npz`` is an augment-trained
+    :class:`LandmarkNet` (provenance + measured quality in the sidecar
+    ``landmark_net.json``), so the alignment path works out of the box —
+    the packaged analogue of the reference's downloaded dlib shape
+    predictor (`paths_config.py:30`).
+
+    Returns ``(net, variables, input_size)`` — pass ``input_size`` as
+    ``make_landmark_provider(..., net_input_size=input_size)``.
+    """
+    import json
+    import os
+
+    here = os.path.join(os.path.dirname(os.path.abspath(__file__)), "weights")
+    with open(os.path.join(here, "landmark_net.json")) as f:
+        meta = json.load(f)
+    net, variables = load_landmark_net(os.path.join(here, meta["file"]),
+                                       width=meta["width"])
+    return net, variables, int(meta["input_size"])
+
+
+def packaged_landmark_provider() -> Callable:
+    """``landmarks_fn(path_or_image) -> (68, 2)`` from the packaged net —
+    drop-in for ``make_align_preprocess`` with no training step."""
+    net, variables, size = load_packaged_landmark_net()
+    return make_landmark_provider(net, variables, net_input_size=size)
 
 
 def save_landmark_net(variables, path: str) -> str:
