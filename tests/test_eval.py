@@ -186,6 +186,30 @@ class TestResultsTable:
         assert isinstance(rows[0][0], float) and isinstance(rows[0][1], float)
         assert rows[0][2] == "" and rows[0][3] == ""  # blank cells
 
+    def test_read_xlsx_sparse_rows_keep_columns(self, tmp_path):
+        """openpyxl-written sheets OMIT empty cells (e.g. NaN metrics);
+        read_xlsx must honour each cell's A1 reference so later columns
+        don't shift left."""
+        import zipfile
+
+        from tpufusion.io.xlsx import read_xlsx
+
+        sheet = (
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            '<worksheet xmlns="http://schemas.openxmlformats.org/'
+            'spreadsheetml/2006/main"><sheetData>'
+            '<row r="1"><c r="A1"><v>1</v></c><c r="C1"><v>3</v></c>'
+            '<c r="AA1"><v>27</v></c></row>'
+            "</sheetData></worksheet>"
+        )
+        path = str(tmp_path / "sparse.xlsx")
+        with zipfile.ZipFile(path, "w") as z:
+            z.writestr("xl/worksheets/sheet1.xml", sheet)
+        cols, rows = read_xlsx(path)
+        assert cols[0] == 1.0 and cols[1] is None and cols[2] == 3.0
+        assert cols[26] == 27.0 and len(cols) == 27
+        assert rows == []
+
     def test_wrong_length_raises(self):
         t = ResultsTable(n_inputs=2)
         with pytest.raises(ValueError):

@@ -128,6 +128,20 @@ def read_xlsx(path: str):
         for row in root.iter(f"{ns}row"):
             vals = []
             for c in row.iter(f"{ns}c"):
+                # honour the cell's A1 reference: writers that omit empty
+                # cells (openpyxl skips None/NaN) must not shift later
+                # columns left — place by column index, padding with None
+                ref = c.get("r") or ""
+                letters = ref.rstrip("0123456789")
+                if letters:
+                    col = 0
+                    for ch in letters:
+                        col = col * 26 + (ord(ch.upper()) - ord("A") + 1)
+                    col -= 1
+                else:
+                    col = len(vals)
+                while len(vals) < col:
+                    vals.append(None)
                 t = c.get("t")
                 if t == "inlineStr":
                     vals.append("".join(
