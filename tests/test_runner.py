@@ -672,3 +672,45 @@ class TestMidRunObservability:
                        save_root=str(tmp_path))
         # the LAST add_batch call happens after n-1 flushes: file existed
         assert seen, "all_adv_inputs.npz never appeared mid-experiment"
+
+
+class TestWhiteboxExecutionResolution:
+    """An explicit scan/stepwise choice must never be silently overridden;
+    only 'auto' adapts to snapshot state."""
+
+    def test_resolve_rules(self):
+        from tpufusion.runner import resolve_whitebox_execution
+
+        assert resolve_whitebox_execution("auto", True) == "stepwise"
+        assert resolve_whitebox_execution("auto", False) == "scan"
+        assert resolve_whitebox_execution("scan", True) == "scan"
+        assert resolve_whitebox_execution("scan", False) == "scan"
+        assert resolve_whitebox_execution("stepwise", True) == "stepwise"
+        assert resolve_whitebox_execution("stepwise", False) == "stepwise"
+        with pytest.raises(ValueError, match="whitebox_execution"):
+            resolve_whitebox_execution("fast", True)
+
+    def test_explicit_scan_with_snapshots_uses_scan_executor(
+            self, pipeline, batch, tmp_path, monkeypatch):
+        """Explicit scan + snapshots must run the scan executor (frames
+        stacked on device by the nested scan) AND still write snapshots."""
+        import tpufusion.attacks.whitebox as wb
+
+        def boom(*a, **k):  # pragma: no cover - failure path
+            raise AssertionError("stepwise executor used despite "
+                                 "whitebox_execution='scan'")
+
+        monkeypatch.setattr(wb, "vmap_whitebox_stepwise", boom)
+        inputs, target = batch
+        cfg = AttackRunConfig(
+            dataset_name="church", attacks=("white_box_target",),
+            n_iters=4, snapshot_every=2, save_img=True,
+            whitebox_execution="scan",
+        )
+        run_experiment(pipeline, cfg, inputs, target, jax.random.key(13),
+                       save_root=str(tmp_path))
+        run_dir = tmp_path / [d for d in os.listdir(tmp_path)
+                              if "white_box" in d][0]
+        names = set(os.listdir(run_dir))
+        assert "adv_input_white_box_target_2.png" in names
+        assert "rec_white_box_target_4.png" in names

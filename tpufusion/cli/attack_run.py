@@ -48,7 +48,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--n_iters", type=int, default=None)
     p.add_argument("--which_adv", type=int, nargs="*", default=[])
     p.add_argument("--whitebox_stepwise", action="store_true",
-                   help="run white-box attacks with the stepwise executor")
+                   help="alias for --whitebox_execution stepwise")
+    p.add_argument("--whitebox_execution", default="auto",
+                   choices=["auto", "scan", "stepwise"],
+                   help="white-box executor: auto = stepwise when snapshots "
+                        "are active (streamed frames, bounded device memory) "
+                        "else scan; explicit scan/stepwise is always "
+                        "honoured (scan + snapshots stacks frames on device)")
     p.add_argument("--whitebox_preset", default="attack_main",
                    choices=["attack_main", "interpolation"],
                    help="white-box loss preset: attack_main2.py:649 or "
@@ -203,6 +209,8 @@ def main(argv=None) -> int:
             cfg.regenerate = False
         if args.whitebox_stepwise:
             cfg.whitebox_execution = "stepwise"
+        elif "whitebox_execution" in explicit:
+            cfg.whitebox_execution = args.whitebox_execution
         if args.hybrid_adv:
             cfg.hybrid_adv = True
         if args.align:
@@ -254,7 +262,8 @@ def main(argv=None) -> int:
         dataset_name=args.dataset, attacks=tuple(args.attacks), lr=args.lr,
         seed=args.seed, align=args.align,
         n_iters=args.n_iters, which_adv=args.which_adv, max_count=args.max_count,
-        whitebox_execution="stepwise" if args.whitebox_stepwise else "scan",
+        whitebox_execution=("stepwise" if args.whitebox_stepwise
+                            else args.whitebox_execution),
         whitebox_preset=args.whitebox_preset,
         epochs=args.epochs, regenerate=args.patch_npz is None,
         patch_npz=args.patch_npz,

@@ -72,7 +72,11 @@ class AttackRunConfig:
     lr: float = 1e-4
     n_iters: Optional[int] = None  # None -> ITER_DICT[generator size]
     which_adv: List[int] = dataclasses.field(default_factory=list)
-    whitebox_execution: str = "scan"  # or "stepwise" (small compile units)
+    # "auto" -> stepwise when snapshots are active (streams frames to host,
+    # bounded device memory), scan otherwise; explicit "scan"/"stepwise" is
+    # always honoured (scan + snapshots stacks frames on device: ~3.8 GB
+    # extra HBM at 1024^2 batch-8 every-5/100-iters)
+    whitebox_execution: str = "auto"
     # loss preset: 'attack_main' (`attack_main2.py:649`) or 'interpolation'
     # (`interpolation.py:818`) — the two reference drivers differ here
     whitebox_preset: str = "attack_main"

@@ -145,6 +145,22 @@ def write_loss_log(run_dir: Optional[str], attack: str, trace,
         f.write("\n".join(lines) + "\n")
 
 
+def resolve_whitebox_execution(execution: str, snapshots_active: bool) -> str:
+    """Resolve an ``AttackRunConfig.whitebox_execution`` value to a concrete
+    executor.  ``"auto"`` picks stepwise when snapshots are active (frames
+    stream to host, bounded device memory — the reference's ``save_img`` loop
+    is host-streamed too, `attack_main2.py:657-666`) and scan otherwise; an
+    explicit ``"scan"``/``"stepwise"`` is always honoured (scan + snapshots
+    stacks frames on device via the nested-scan chunking)."""
+    if execution == "auto":
+        return "stepwise" if snapshots_active else "scan"
+    if execution not in ("scan", "stepwise"):
+        raise ValueError(
+            f"whitebox_execution must be 'auto', 'scan' or 'stepwise', "
+            f"got {execution!r}")
+    return execution
+
+
 def dispatch_attack(
     pipeline: FusionPipeline,
     attack: str,
@@ -257,11 +273,8 @@ def dispatch_attack(
             weights=(PRESET_INTERPOLATION
                      if cfg.whitebox_preset == "interpolation"
                      else PRESET_ATTACK_MAIN),
-            # snapshot runs stream frames to host via the stepwise executor
-            # (the reference's save_img loop is host-streamed too); the scan
-            # path would carry every frame as a stacked scan output —
-            # ~3.8 GB extra HBM at 1024² batch-8 every-5/100-iters
-            execution="stepwise" if snap_every else cfg.whitebox_execution,
+            execution=resolve_whitebox_execution(
+                cfg.whitebox_execution, bool(snap_every)),
             snapshot_every=snap_every,
         )
         if attack == "white_box_patch":
