@@ -54,6 +54,36 @@ class TestViTAdapter:
         assert adv.shape == imgs.shape
 
 
+class TestViTBackendResolution:
+    """'auto' keeps flax-only HF dirs loadable while preferring native."""
+
+    def test_no_dir_is_native(self):
+        from tpufusion.models.classifiers import resolve_vit_backend
+
+        assert resolve_vit_backend(None) == "native"
+
+    def test_torch_weights_prefer_native(self, tmp_path):
+        from tpufusion.models.classifiers import resolve_vit_backend
+
+        (tmp_path / "pytorch_model.bin").write_bytes(b"x")
+        (tmp_path / "flax_model.msgpack").write_bytes(b"x")
+        assert resolve_vit_backend(str(tmp_path)) == "native"
+
+    def test_flax_only_dir_falls_back(self, tmp_path):
+        from tpufusion.models.classifiers import resolve_vit_backend
+
+        (tmp_path / "flax_model.msgpack").write_bytes(b"x")
+        assert resolve_vit_backend(str(tmp_path)) == "flax_hf"
+
+    def test_missing_weights_raises_with_hint(self, tmp_path):
+        with pytest.raises(FileNotFoundError, match="flax_hf"):
+            create_vit_classifier(
+                num_labels=4, image_size=32, patch_size=8, hidden_size=32,
+                num_layers=2, num_heads=2, intermediate_size=64,
+                pretrained_dir=str(tmp_path), backend="native",
+            )
+
+
 class TestGenderClassifier:
     def test_random_init_logits(self):
         logits_fn, variables = load_gender_classifier(None)

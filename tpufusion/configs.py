@@ -50,6 +50,9 @@ class PathsConfig:
     adv_inputs_path: Optional[str] = None  # precomputed adv inputs (adv_generate)
     gender_classifier_ckpt: Optional[str] = None  # face_gender_classification_256_1.pth
     car_vit_dir: Optional[str] = None  # stanford-car-vit-patch16 local dir
+    # ViT serving backend: 'auto' (native unless the dir is flax-only),
+    # 'native', or 'flax_hf' (transformers adapter)
+    car_vit_backend: str = "auto"
 
 
 @dataclasses.dataclass

@@ -40,6 +40,24 @@ def resnet_logits_fn(model: ResNet, variables, input_size: int = 256) -> Callabl
     return logits
 
 
+def resolve_vit_backend(pretrained_dir: Optional[str]) -> str:
+    """``backend='auto'`` rule: native unless ``pretrained_dir`` holds ONLY
+    flax-serialized weights (``flax_model.msgpack`` with no
+    ``pytorch_model.bin``/``model.safetensors``) — those dirs loaded fine
+    through the flax adapter before the native backend existed and must
+    keep working."""
+    if pretrained_dir:
+        import os
+
+        has_torch = any(
+            os.path.exists(os.path.join(pretrained_dir, n))
+            for n in ("pytorch_model.bin", "model.safetensors"))
+        if not has_torch and os.path.exists(
+                os.path.join(pretrained_dir, "flax_model.msgpack")):
+            return "flax_hf"
+    return "native"
+
+
 def create_vit_classifier(
     num_labels: int,
     *,
@@ -51,23 +69,29 @@ def create_vit_classifier(
     intermediate_size: int = 3072,
     pretrained_dir: Optional[str] = None,
     seed: int = 0,
-    backend: str = "native",
+    backend: str = "auto",
     policy=None,
 ):
     """Build (or load) the cars ViT classifier (vit-patch16 @224).
 
-    ``backend='native'`` (default) serves the model through
+    ``backend='native'`` serves the model through
     ``tpufusion.models.vit.ViTClassifier`` — implemented and converter-
     cross-validated like every other model (VERDICT r3 ask #7);
     ``backend='flax_hf'`` keeps the transformers Flax adapter for loading
-    HF model dirs without a torch weights file.  ``pretrained_dir`` points
-    at a locally downloaded HF model dir (zero-egress: no hub fetches);
-    the native backend reads its ``pytorch_model.bin`` /
-    ``model.safetensors`` through ``convert_vit_checkpoint``.
+    HF model dirs without a torch weights file.  ``backend='auto'``
+    (default) picks native unless ``pretrained_dir`` holds ONLY
+    flax-serialized weights (``flax_model.msgpack``), in which case it
+    falls back to the flax adapter — so previously-working flax-only HF
+    dirs keep loading.  ``pretrained_dir`` points at a locally downloaded
+    HF model dir (zero-egress: no hub fetches); the native backend reads
+    its ``pytorch_model.bin`` / ``model.safetensors`` through
+    ``convert_vit_checkpoint``.
 
     Returns ``(logits_fn, params)`` with
     ``logits_fn(params, images_nhwc_pm1) -> (B, num_labels)``.
     """
+    if backend == "auto":
+        backend = resolve_vit_backend(pretrained_dir)
     if backend == "native":
         from tpufusion.models.vit import (
             ViTClassifier,

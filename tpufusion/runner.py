@@ -99,7 +99,9 @@ def classifier_for(pipeline: FusionPipeline, cfg: AttackRunConfig, key):
         from tpufusion.models.classifiers import create_vit_classifier
 
         if cfg.paths.car_vit_dir:
-            return create_vit_classifier(196, pretrained_dir=cfg.paths.car_vit_dir)
+            return create_vit_classifier(
+                196, pretrained_dir=cfg.paths.car_vit_dir,
+                backend=cfg.paths.car_vit_backend)
         if pipeline.image_size <= 64:
             return create_vit_classifier(
                 8, image_size=32, patch_size=8, hidden_size=32,
