@@ -88,6 +88,19 @@ class TestLandmarkNet:
             np.asarray(net.apply(variables, x)),
             np.asarray(net2.apply(vars2, x)), atol=1e-6)
 
+    def test_size_sidecar_roundtrip(self, trained_net, tmp_path):
+        """save_landmark_net records the training input size so later
+        loads evaluate on-distribution (the GAP head accepts any size, so
+        a mismatch degrades silently instead of failing)."""
+        from tpufusion.models.landmarks import landmark_net_input_size
+
+        net, variables, _, _ = trained_net
+        bare = save_landmark_net(variables, str(tmp_path / "bare.npz"))
+        assert landmark_net_input_size(bare) is None
+        sized = save_landmark_net(variables, str(tmp_path / "sized.npz"),
+                                  input_size=SIZE)
+        assert landmark_net_input_size(sized) == SIZE
+
 
 class TestPackagedNet:
     """The weights shipped in models/weights/ (C18 works out of the box —

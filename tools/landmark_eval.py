@@ -95,7 +95,9 @@ def panel_sanity(net, variables, panels, net_size: int) -> dict:
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
-    p.add_argument("--size", type=int, default=128)
+    p.add_argument("--size", type=int, default=None,
+                   help="synthetic-face / eval input size (default 128, or "
+                        "the size recorded in a --weights sidecar)")
     p.add_argument("--width", type=int, default=32)
     p.add_argument("--train", type=int, default=2000)
     p.add_argument("--steps", type=int, default=1500)
@@ -118,6 +120,8 @@ def main(argv=None) -> int:
                         "ignores JAX_PLATFORMS; this calls "
                         "jax.config.update instead)")
     args = p.parse_args(argv)
+    if args.size is None and not args.weights:
+        args.size = 128  # --weights resolves from its sidecar below
 
     import jax
 
@@ -148,9 +152,30 @@ def main(argv=None) -> int:
               f"input {size})", file=sys.stderr)
         metrics = {"weights_in": "packaged"}
     elif args.weights:
+        from tpufusion.models.landmarks import landmark_net_input_size
+
         net, variables = load_landmark_net(args.weights)
-        print(f"[landmark_eval] loaded weights from {args.weights}",
-              file=sys.stderr)
+        args.width = net.width
+        # evaluate at the TRAINING size when the save recorded one — the
+        # global-average-pool head accepts any size, so evaluating a
+        # 96-trained net at 128 silently reports off-distribution numbers
+        trained_size = landmark_net_input_size(args.weights)
+        if trained_size:
+            if args.size is not None and args.size != trained_size:
+                print(f"[landmark_eval] WARNING: --size {args.size} differs "
+                      f"from the net's training size {trained_size} "
+                      f"(sidecar); evaluating OFF-distribution as requested",
+                      file=sys.stderr)
+            else:
+                args.size = trained_size
+        elif args.size is None:
+            print("[landmark_eval] WARNING: no size sidecar next to "
+                  f"{args.weights}; assuming 128 — pass --size if the net "
+                  "was trained at another size", file=sys.stderr)
+        if args.size is None:
+            args.size = 128
+        print(f"[landmark_eval] loaded weights from {args.weights} "
+              f"(eval size {args.size})", file=sys.stderr)
         metrics = {"weights_in": args.weights}
     else:
         rng = np.random.RandomState(0)
@@ -196,7 +221,7 @@ def main(argv=None) -> int:
               f"in {time.time() - t0:.1f}s", file=sys.stderr)
 
     if args.out:
-        save_landmark_net(variables, args.out)
+        save_landmark_net(variables, args.out, input_size=args.size)
         metrics["weights"] = args.out
     print(json.dumps(metrics))
     return 0

@@ -152,12 +152,18 @@ def resolve_align_preprocess(landmark_net: str | None,
     downloaded dlib model (`paths_config.py:30`)."""
     if landmark_net:
         from tpufusion.models.landmarks import (
+            landmark_net_input_size,
             load_landmark_net,
             make_landmark_provider,
         )
 
         lnet, lvars = load_landmark_net(landmark_net)
-        landmarks_fn = make_landmark_provider(lnet, lvars)
+        # drive the net at its TRAINING input size when the save recorded
+        # one (the sidecar of save_landmark_net); the global-average-pool
+        # head accepts any size, so a mismatch degrades silently
+        size = landmark_net_input_size(landmark_net)
+        landmarks_fn = make_landmark_provider(
+            lnet, lvars, **({"net_input_size": size} if size else {}))
     elif dlib_predictor:
         from tpufusion.models.landmarks import dlib_landmark_provider
 

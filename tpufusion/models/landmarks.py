@@ -342,10 +342,34 @@ def packaged_landmark_provider() -> Callable:
     return make_landmark_provider(net, variables, net_input_size=size)
 
 
-def save_landmark_net(variables, path: str) -> str:
+def save_landmark_net(variables, path: str,
+                      *, input_size: Optional[int] = None) -> str:
+    """Save trained weights; when ``input_size`` is given, also write a
+    ``<path>.json`` sidecar recording it (the npz itself carries no size —
+    the net's global average pool accepts ANY input size without error, so
+    evaluating at the wrong one silently degrades instead of failing)."""
     from tpufusion.io.params_io import save_pytree
 
-    return save_pytree(variables, path)
+    out = save_pytree(variables, path)
+    if input_size is not None:
+        import json
+
+        width = int(variables["params"]["conv0"]["kernel"].shape[-1])
+        with open(out + ".json", "w") as f:
+            json.dump({"input_size": int(input_size), "width": width}, f)
+    return out
+
+
+def landmark_net_input_size(path: str) -> Optional[int]:
+    """Training input size recorded in the ``<path>.json`` sidecar written
+    by :func:`save_landmark_net`, or ``None`` for sidecar-less files."""
+    import json
+    import os
+
+    if os.path.exists(path + ".json"):
+        with open(path + ".json") as f:
+            return int(json.load(f)["input_size"])
+    return None
 
 
 def load_landmark_net(path: str, *, width: Optional[int] = None,
