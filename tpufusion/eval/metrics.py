@@ -98,20 +98,34 @@ def perceptual_distance_per_image(feats_a, feats_b):
     return total
 
 
-def fused_image_metrics(pipeline, original_fused, adv_fused_all):
-    """``cal_result`` (`interpolation.py:1076-1091`): for each adversarial
-    fused image, MSE + VGG perceptual distance + SSIM versus the benign fused
-    image.  Returns three (K,) numpy-convertible arrays (the reference builds
-    three dicts keyed by index; it also runs one VGG pass per image — here
-    ONE batched VGG pass covers all K+1 images)."""
+def fused_image_metrics_with(vgg_apply, vgg_vars, pool_factor,
+                             original_fused, adv_fused_all):
+    """Params-explicit core of :func:`fused_image_metrics` — the single
+    definition of the per-image metric triple, shared with the sharded
+    group-eval (``parallel.sharding.make_sharded_group_eval``) so the two
+    paths cannot drift apart.  ``vgg_apply(vgg_vars, pooled_images)`` must
+    return the 4 perceptual taps."""
+    from tpufusion.core.imaging import avg_pool
+
     orig = jnp.broadcast_to(original_fused, adv_fused_all.shape)
     mses = mse_per_image(orig, adv_fused_all)
     ssims = ssim(orig, adv_fused_all)
-    feats_o = pipeline.vgg_feats(original_fused)
-    feats_a = pipeline.vgg_feats(adv_fused_all)
+    feats_o = vgg_apply(vgg_vars, avg_pool(original_fused, pool_factor))
+    feats_a = vgg_apply(vgg_vars, avg_pool(adv_fused_all, pool_factor))
     feats_o = jax.tree.map(
         lambda t: jnp.broadcast_to(t, (adv_fused_all.shape[0],) + t.shape[1:]),
         feats_o,
     )
     vgs = perceptual_distance_per_image(feats_a, feats_o)
     return mses, vgs, ssims
+
+
+def fused_image_metrics(pipeline, original_fused, adv_fused_all):
+    """``cal_result`` (`interpolation.py:1076-1091`): for each adversarial
+    fused image, MSE + VGG perceptual distance + SSIM versus the benign fused
+    image.  Returns three (K,) numpy-convertible arrays (the reference builds
+    three dicts keyed by index; it also runs one VGG pass per image — here
+    ONE batched VGG pass covers all K+1 images)."""
+    return fused_image_metrics_with(
+        pipeline._vgg, pipeline.vgg_vars, pipeline.pool_factor,
+        original_fused, adv_fused_all)

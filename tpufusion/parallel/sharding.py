@@ -584,9 +584,8 @@ def make_sharded_group_eval(pipeline, mesh: Mesh):
 
     from tpufusion.core.imaging import avg_pool
     from tpufusion.eval.metrics import (
+        fused_image_metrics_with,
         mse_per_image,
-        perceptual_distance_per_image,
-        ssim,
     )
     from tpufusion.eval.partial import partial_latent_variants
     from tpufusion.fusion.drawer import SWAP_TABLE
@@ -632,15 +631,10 @@ def make_sharded_group_eval(pipeline, mesh: Mesh):
         return gen.apply(p["gen"], [means], input_is_latent=True).image
 
     def metrics_of(p, benign_fused, fused_all):
-        orig = jnp.broadcast_to(benign_fused, fused_all.shape)
-        mses = mse_per_image(orig, fused_all)
-        ssims = ssim(orig, fused_all)
-        feats_o = vgg(p["vgg"], avg_pool(benign_fused, factor))
-        feats_a = vgg(p["vgg"], avg_pool(fused_all, factor))
-        feats_o = jax.tree.map(
-            lambda t: jnp.broadcast_to(t, (fused_all.shape[0],) + t.shape[1:]),
-            feats_o)
-        return mses, perceptual_distance_per_image(feats_a, feats_o), ssims
+        # the ONE metric definition, shared with the serial path
+        # (`eval.metrics.fused_image_metrics`) so they cannot drift
+        return fused_image_metrics_with(vgg, p["vgg"], factor,
+                                        benign_fused, fused_all)
 
     def group_eval(p, inputs, adv):
         codes_b = latents_of(p, inputs)
