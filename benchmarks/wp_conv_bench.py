@@ -59,6 +59,11 @@ def main() -> int:
             times.append((time.time() - t0) / calls)
         return sorted(times)[1]
 
+    if jnp.dtype(dtype).itemsize > 2:
+        print(json.dumps({"skipped": "conv3x3_wp kernels are VMEM-sized "
+                          "for <=2-byte dtypes; WPB_DTYPE=f32 unsupported"}))
+        return 0
+
     for h, c in cases:
         n = 8
         x = jax.random.normal(jax.random.key(0), (n, h, h, c), dtype)

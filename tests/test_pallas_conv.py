@@ -62,6 +62,28 @@ class TestWidthPackedConv:
         assert not pc._supported((8, 64, 6, 32), (3, 3, 32, 32))
         assert not pc._supported((8, 256, 256, 128), (3, 3, 128, 128))
 
+    def test_compiled_mode_gates_dtype(self):
+        """Compiled kernels are VMEM-sized for <=2-byte dtypes: the
+        dispatcher predicate must reject f32 (fall back to XLA conv) and a
+        direct call must raise clearly, not fail at on-device compile."""
+        pc.set_interpret(False)
+        try:
+            shp, wshp = (8, 1024, 1024, 32), (3, 3, 32, 32)
+            assert not pc._supported(shp, wshp, jnp.float32)
+            assert pc._supported(shp, wshp, jnp.bfloat16)
+            with pytest.raises(ValueError, match="VMEM-sized"):
+                pc.conv3x3_wp(jnp.zeros((1, 8, 8, 32), jnp.float32),
+                              jnp.zeros((3, 3, 32, 32), jnp.float32))
+        finally:
+            pc.set_interpret(True)
+        # interpret mode has no VMEM -> f32 allowed (this file's tests)
+        assert pc._supported((8, 1024, 1024, 32), (3, 3, 32, 32),
+                             jnp.float32)
+
+    def test_supported_width_cap(self):
+        # packed width > 256 exceeds the kernels' VMEM sizing
+        assert not pc._supported((8, 2048, 2048, 32), (3, 3, 32, 32))
+
     def test_pack_unpack_roundtrip_adjoint(self):
         # <dWk, pack(W)> == <unpack(dWk), W> — pack/unpack are adjoints
         c = 32

@@ -164,12 +164,12 @@ def set_wp_tail(enabled: bool) -> None:
     jax.clear_caches()
 
 
-def _use_wp(x_shape, w_shape) -> bool:
+def _use_wp(x_shape, w_shape, dtype=None) -> bool:
     if not _WP_TAIL_ENABLED:
         return False
     from tpufusion.ops.pallas_conv import _supported
 
-    return _supported(x_shape, w_shape)
+    return _supported(x_shape, w_shape, dtype)
 
 
 def set_s2d_tail(enabled: bool) -> None:
@@ -248,7 +248,7 @@ def modulated_conv2d(
             padding="VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
-    elif _use_wp(xs.shape, w.shape):
+    elif _use_wp(xs.shape, w.shape, xs.dtype):
         # low-channel tail: width-packed Pallas conv — full MXU lanes,
         # repack entirely in VMEM (zero extra HBM passes)
         from tpufusion.ops.pallas_conv import conv3x3_wp

@@ -41,7 +41,15 @@ from jax.experimental.pallas import tpu as pltpu
 LANES = 128
 
 
-def _supported(x_shape, w_shape) -> bool:
+def _supported(x_shape, w_shape, dtype=None) -> bool:
+    """Shapes (and optionally dtype) the compiled kernels are sized for.
+
+    The VMEM budget (scratch + packed operand + accumulator + double-
+    buffered blocks, see ``_tile_rows``) assumes <=2-byte activations and
+    packed width WP <= 256 — f32 at the headline shapes roughly doubles
+    live VMEM and can fail at compile instead of falling back, so the
+    dispatcher must not route such cases here.  In interpret mode (tests)
+    there is no VMEM, so the dtype gate is waived."""
     n, h, w, c = x_shape
     kh, kw, cin, cout = w_shape
     if (kh, kw) != (3, 3) or cin != c or cout != c:
@@ -49,6 +57,11 @@ def _supported(x_shape, w_shape) -> bool:
     if c not in (32, 64) or (w * c) % LANES:
         return False
     p = LANES // c
+    if w // p > 256:  # beyond the VMEM sizing of _tile_rows
+        return False
+    if (dtype is not None and not _INTERPRET
+            and jnp.dtype(dtype).itemsize > 2):
+        return False
     return w % p == 0 and h % 8 == 0
 
 
@@ -295,7 +308,16 @@ def set_interpret(on: bool) -> None:
 @jax.custom_vjp
 def conv3x3_wp(x: jax.Array, w: jax.Array) -> jax.Array:
     """3x3 SAME stride-1 conv, NHWC, Cin==Cout in {32, 64} — width-packed
-    Pallas forward and backward (see module docstring)."""
+    Pallas forward and backward (see module docstring).
+
+    Compiled mode requires a <=2-byte dtype (bf16/f16): the kernels size
+    VMEM for it.  Raises at trace time — a clear error beats an opaque
+    on-device compile failure (interpret mode has no such limit)."""
+    if not _INTERPRET and jnp.dtype(x.dtype).itemsize > 2:
+        raise ValueError(
+            f"conv3x3_wp: compiled kernels are VMEM-sized for <=2-byte "
+            f"dtypes, got {jnp.dtype(x.dtype).name}; cast to bfloat16 or "
+            f"use the XLA conv")
     return _conv3x3_wp_fwd_impl(x, pack_weights(w).astype(x.dtype))
 
 
