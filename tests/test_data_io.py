@@ -74,6 +74,59 @@ class TestDataset:
         ds = ImageFolderDataset(image_dir, transform=transform_for("car"))
         assert ds[0].shape == (512, 512, 3)
 
+    def test_prefetch_surfaces_dataset_errors(self, image_dir):
+        """A __getitem__ error must reach the consumer — the prefetch
+        worker used to swallow it and end the epoch early with NO error."""
+        ds = ImageFolderDataset(image_dir)
+        boom = RuntimeError("corrupt image")
+        orig = type(ds).__getitem__
+
+        class Flaky:
+            def __init__(self, inner):
+                self.inner = inner
+
+            def __len__(self):
+                return len(self.inner)
+
+            def __getitem__(self, i):
+                if i == 4:
+                    raise boom
+                return orig(self.inner, i)
+
+        loader = BatchLoader(Flaky(ds), np.arange(6), batch_size=2,
+                             shuffle=False, prefetch=2)
+        with pytest.raises(RuntimeError, match="corrupt image"):
+            list(loader)
+
+    def test_prefetch_worker_exits_on_early_break(self, image_dir):
+        """A consumer that stops iterating early must not leave the
+        producer thread blocked on a full queue forever."""
+        import threading
+
+        ds = ImageFolderDataset(image_dir)
+        before = set(t.ident for t in threading.enumerate())
+        loader = BatchLoader(ds, np.arange(6), batch_size=1,
+                             shuffle=False, prefetch=1)
+        for batch in loader:
+            break  # abandon after the first batch
+        import gc
+        import time
+
+        gc.collect()  # finalize the abandoned generator -> stop event set
+        deadline = time.time() + 5.0
+        while time.time() < deadline:
+            leftover = [t for t in threading.enumerate()
+                        if t.ident not in before and t.is_alive()]
+            if not leftover:
+                break
+            time.sleep(0.05)
+        assert not leftover, "prefetch worker still alive after early break"
+
+    def test_setup_loaders_empty_test_split_raises(self, image_dir):
+        ds = ImageFolderDataset(image_dir)
+        with pytest.raises(ValueError, match="test split"):
+            setup_loaders(ds, train_size=6, test_size=2)
+
 
 class TestAlignment:
     def test_align_with_synthetic_landmarks(self, image_dir):

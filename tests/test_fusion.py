@@ -274,6 +274,35 @@ class TestDrawerDictAPIs:
         with pytest.raises(ValueError):
             drawer.w_plus_dict_to_image({"hair": jnp.zeros((1, drawer.generator.n_latent, 512))})
 
+    def test_w_plus_dict_truncation_is_applied(self, drawer):
+        """truncation passes through to the generator's w-space truncation
+        (`style_fusion_simple.py:167-171` -> `:125`); it used to be
+        silently ignored."""
+        n_lat = drawer.generator.n_latent
+        base = jax.random.normal(jax.random.key(42), (1, n_lat, 512))
+        full, _ = drawer.w_plus_dict_to_image({"all": base})
+        trunc, _ = drawer.w_plus_dict_to_image({"all": base}, truncation=0.5)
+        assert not np.allclose(np.asarray(full), np.asarray(trunc),
+                               atol=1e-4)
+        # truncation toward the mean latent: trunc=0 == synthesising the
+        # mean itself
+        at_mean, _ = drawer.w_plus_dict_to_image({"all": base},
+                                                 truncation=0.0)
+        mean_w = jnp.broadcast_to(drawer.mean_latent[None], base.shape)
+        ref, _ = drawer.w_plus_dict_to_image({"all": mean_w})
+        np.testing.assert_allclose(np.asarray(at_mean), np.asarray(ref),
+                                   atol=1e-4)
+
+    def test_generate_img_unknown_latents_type_raises(self, drawer):
+        z = drawer.seed_to_z((1, 0))
+        with pytest.raises(ValueError, match="latents_type"):
+            drawer.generate_img(z, latents_type="W")
+
+    def test_create_generator_without_vars_raises(self, drawer):
+        with pytest.raises(ValueError, match="gen_vars"):
+            FusionDrawer.create("ffhq", jax.random.key(0), size=32,
+                                generator=drawer.generator)
+
 
 class TestReconOrder:
     def test_church_recon_order_is_reference(self):

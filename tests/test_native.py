@@ -30,6 +30,24 @@ class TestNativeOps:
         assert half.shape == (16, 8, 3)
         assert abs(half.mean() - same.mean()) < 0.05  # mean-preserving
 
+    def test_resize_fallback_matches_native(self, monkeypatch):
+        """The numpy fallback must reproduce the native kernel EXACTLY,
+        including edge handling on upscales (coords clamp to the edge
+        row/col; the old clipped-floor fallback blended toward the
+        interior at the top/left edges)."""
+        lib = native._load()
+        if not lib:
+            pytest.skip("native lib unavailable — nothing to compare")
+        u8 = (rng.rand(2, 2, 3) * 255).astype(np.uint8)
+        want_up = native.resize_normalize(u8, 8, 8)
+        big = (rng.rand(23, 17, 3) * 255).astype(np.uint8)
+        want_down = native.resize_normalize(big, 7, 5)
+        monkeypatch.setattr(native, "_load", lambda: None)
+        np.testing.assert_allclose(
+            native.resize_normalize(u8, 8, 8), want_up, atol=1e-4)
+        np.testing.assert_allclose(
+            native.resize_normalize(big, 7, 5), want_down, atol=1e-4)
+
     def test_avg_pool_matches_numpy(self):
         f = rng.rand(2, 8, 12, 3).astype(np.float32)
         out = native.avg_pool(f, 2)

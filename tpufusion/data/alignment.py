@@ -136,7 +136,11 @@ def make_align_preprocess(landmarks_fn: Callable[[str], np.ndarray],
     (the reference's ``run_alignment``, `attack_main2.py:185-189`)."""
 
     def preprocess(path: str) -> PIL.Image.Image:
-        return align_face(path, landmarks_fn(path), output_size=output_size)
+        # decode ONCE and hand the PIL image to both the landmark provider
+        # and the aligner (each accepts a path too, but opening twice would
+        # double the host JPEG/PNG decode work per item on the 1-core host)
+        img = PIL.Image.open(path)
+        return align_face(img, landmarks_fn(img), output_size=output_size)
 
     return preprocess
 

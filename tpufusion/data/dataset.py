@@ -65,7 +65,9 @@ class ImageFolderDataset:
         img = img.convert("RGB")
         if self.transform is not None:
             return self.transform(img)
-        return np.asarray(img, dtype=np.float32) / 255.0 * 2.0 - 1.0
+        from tpufusion.data.native import normalize_u8_to_pm1
+
+        return normalize_u8_to_pm1(np.asarray(img, dtype=np.uint8))
 
 
 class BatchLoader:
@@ -110,21 +112,52 @@ class BatchLoader:
             return
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        stop = threading.Event()  # set when the consumer abandons iteration
 
         def worker():
             try:
                 for batch in self._batches():
-                    q.put(batch)
+                    # bounded put with a liveness check: a consumer that
+                    # breaks out of the loop would otherwise leave this
+                    # thread blocked on a full queue forever
+                    while not stop.is_set():
+                        try:
+                            q.put(batch, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
+            except BaseException as e:  # noqa: BLE001 - re-raised by consumer
+                # surface dataset errors in the consumer instead of silently
+                # truncating the epoch (a swallowed __getitem__ error used
+                # to end iteration early with NO error)
+                while not stop.is_set():
+                    try:
+                        q.put(e, timeout=0.1)
+                        return
+                    except queue.Full:
+                        continue
             finally:
-                q.put(sentinel)
+                while not stop.is_set():
+                    try:
+                        q.put(sentinel, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()  # unblock + terminate the worker on early exit
 
 
 def setup_loaders(
@@ -139,6 +172,20 @@ def setup_loaders(
     """The reference's split (`attack_main2.py:110-128`): shuffle all indices
     once, first ``train_size`` are train, next ``test_size`` are test; both
     loaders then sample their subset randomly with ``drop_last``."""
+    if len(dataset) <= train_size:
+        raise ValueError(
+            f"dataset has {len(dataset)} images but train_size="
+            f"{train_size} consumes them all — the test split would be "
+            f"EMPTY and evaluation would silently run zero batches; "
+            f"shrink the split sizes (the reference assumes a 70k "
+            f"FFHQ-scale folder, `attack_main2.py:110-128`)")
+    if len(dataset) < train_size + test_size:
+        import sys
+
+        print(f"[setup_loaders] note: dataset has {len(dataset)} images "
+              f"< train_size+test_size={train_size + test_size}; test "
+              f"split shortened to {len(dataset) - train_size}",
+              file=sys.stderr)
     idx = np.arange(len(dataset))
     np.random.RandomState(seed).shuffle(idx)
     train_idx = idx[:train_size]

@@ -98,15 +98,21 @@ def resize_normalize(src: np.ndarray, height: int, width: int) -> np.ndarray:
         lib.resize_bilinear_u8_to_pm1(src.reshape(-1), sh, sw, c,
                                       out.reshape(-1), height, width)
         return out
-    # numpy fallback: nearest-ish via PIL-free bilinear using jax-free math
+    # numpy fallback: PIL-free bilinear, half-pixel convention — must match
+    # the native kernel EXACTLY: weights from the UNCLAMPED floor, both taps
+    # clamped from it (so out-of-range coords clamp to the edge row/col
+    # instead of blending toward the interior — the old clipped-floor code
+    # blended row/col 1 at the top/left edge on upscales)
     yy = (np.arange(height) + 0.5) * (sh / height) - 0.5
     xx = (np.arange(width) + 0.5) * (sw / width) - 0.5
-    y0 = np.clip(np.floor(yy).astype(int), 0, sh - 1)
-    y1 = np.clip(y0 + 1, 0, sh - 1)
-    x0 = np.clip(np.floor(xx).astype(int), 0, sw - 1)
-    x1 = np.clip(x0 + 1, 0, sw - 1)
-    wy = np.clip(yy - np.floor(yy), 0, 1)[:, None, None]
-    wx = np.clip(xx - np.floor(xx), 0, 1)[None, :, None]
+    y0f = np.floor(yy).astype(int)
+    x0f = np.floor(xx).astype(int)
+    y0 = np.clip(y0f, 0, sh - 1)
+    y1 = np.clip(y0f + 1, 0, sh - 1)
+    x0 = np.clip(x0f, 0, sw - 1)
+    x1 = np.clip(x0f + 1, 0, sw - 1)
+    wy = (yy - y0f)[:, None, None]
+    wx = (xx - x0f)[None, :, None]
     s = src.astype(np.float32)
     top = s[y0][:, x0] * (1 - wx) + s[y0][:, x1] * wx
     bot = s[y1][:, x0] * (1 - wx) + s[y1][:, x1] * wx

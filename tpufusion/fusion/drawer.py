@@ -53,6 +53,37 @@ SWAP_TABLE = (
 )
 
 
+def _to_s_expr(gen: Generator, trunc: float, latents_type: str):
+    """The ONE latent-type dispatch (`style_fusion_simple.py:131-144`):
+    returns a traced ``expr(vars, latent, mean) -> style_vector`` shared by
+    the drawer's jitted conversion wrappers and ``generate_img``'s compiled
+    program.  z applies the dataset truncation; w/w+ convert at
+    truncation=1 (the reference's ``general_latent_to_s`` fixes
+    ``truncation=1`` for w-likes, `:140-142`); a (1, 512) single w
+    broadcasts to all layers.  Unknown types raise HERE, at program-build
+    time, instead of silently flowing through the 's' path."""
+    n_latent = gen.n_latent
+    if latents_type == "z":
+        def expr(v, latent, mean):
+            return gen.apply(v, [latent], truncation=trunc,
+                             truncation_latent=mean,
+                             return_style_vector=True)
+    elif latents_type in ("w", "w+"):
+        def expr(v, latent, mean):
+            w = latent
+            if w.ndim == 2:  # (1, 512) single w -> broadcast to all layers
+                w = jnp.repeat(w[:, None, :], n_latent, axis=1)
+            return gen.apply(v, [w], input_is_latent=True,
+                             return_style_vector=True)
+    elif latents_type == "s":
+        def expr(v, latent, mean):
+            return latent
+    else:
+        raise ValueError(
+            f"latents_type must be z/w/w+/s, got {latents_type!r}")
+    return expr
+
+
 class FusionDrawer:
     """Holds generator + blender modules and their params; exposes pure,
     jit-cached conversion/synthesis functions."""
@@ -109,6 +140,11 @@ class FusionDrawer:
                 size, kg, channel_multiplier=channel_multiplier, policy=policy,
                 remat=remat, remat_min_res=remat_min_res,
             )
+        elif gen_vars is None:
+            raise ValueError(
+                "gen_vars is required when a generator is supplied "
+                "(the GAN=net.decoder path passes both, "
+                "`attack_main2.py:930-932`)")
         mean_latent = jax.jit(
             lambda v, k: generator.apply(v, mean_latent_samples, k, method=Generator.mean_latent)
         )(gen_vars, km)
@@ -126,37 +162,40 @@ class FusionDrawer:
 
     @functools.cached_property
     def _z_to_s(self):
-        gen, trunc = self.generator, self.truncation
-        return jax.jit(
-            lambda v, z, m: gen.apply(
-                v, [z], truncation=trunc, truncation_latent=m, return_style_vector=True
-            )
-        )
+        return jax.jit(_to_s_expr(self.generator, self.truncation, "z"))
 
     def z_to_s(self, z):
         return self._z_to_s(self.gen_vars, z, self.mean_latent)
 
     @functools.cached_property
     def _w_plus_to_s(self):
-        gen = self.generator
-        return jax.jit(
-            lambda v, w: gen.apply(v, [w], input_is_latent=True, return_style_vector=True)
-        )
+        return jax.jit(_to_s_expr(self.generator, self.truncation, "w+"))
 
-    def w_plus_to_s(self, w_plus):
-        return self._w_plus_to_s(self.gen_vars, w_plus)
+    def w_plus_to_s(self, w_plus, truncation: float = 1.0):
+        """W+ -> s; ``truncation`` < 1 applies w-space truncation toward
+        the mean latent inside the generator (`style_fusion_simple.py:125`
+        passes it through to ``original_net``)."""
+        if truncation == 1.0:
+            return self._w_plus_to_s(self.gen_vars, w_plus, self.mean_latent)
+        gen = self.generator
+        cache = self.__dict__.setdefault("_w_plus_to_s_trunc", {})
+        fn = cache.get(truncation)
+        if fn is None:
+            fn = cache[truncation] = jax.jit(
+                lambda v, w, m: gen.apply(
+                    v, [w], input_is_latent=True, truncation=truncation,
+                    truncation_latent=m, return_style_vector=True))
+        return fn(self.gen_vars, w_plus, self.mean_latent)
 
     def general_latent_to_s(self, latent, latent_type: str):
         """`style_fusion_simple.py:131-144`: z/w/w+/s -> s."""
-        if latent_type not in ("z", "w", "w+", "s"):
-            raise ValueError(f"latent_type must be z/w/w+/s, got {latent_type!r}")
         if latent_type == "z":
             return self.z_to_s(latent)
         if latent_type in ("w", "w+"):
-            w = latent
-            if w.ndim == 2:  # (1, 512) single w -> broadcast to all layers
-                w = jnp.repeat(w[:, None, :], self.generator.n_latent, axis=1)
-            return self.w_plus_to_s(w)
+            # the shared expr broadcasts a (1, 512) single w to all layers
+            return self._w_plus_to_s(self.gen_vars, latent, self.mean_latent)
+        if latent_type != "s":
+            raise ValueError(f"latent_type must be z/w/w+/s, got {latent_type!r}")
         return latent  # already s
 
     # ---- synthesis ----------------------------------------------------
@@ -196,9 +235,11 @@ class FusionDrawer:
         return self._z_to_w_plus(self.gen_vars, z, self.mean_latent)
 
     def w_plus_dict_to_image(self, w_plus_dict, truncation: float = 1.0):
-        """Per-part W+ dict -> fused image (`style_fusion_simple.py:167-171`).
-        NB the reference's truncation=1 path is the plain w_plus_to_s."""
-        s_dict = {k: self.w_plus_to_s(v) for k, v in w_plus_dict.items()}
+        """Per-part W+ dict -> fused image (`style_fusion_simple.py:167-171`);
+        ``truncation`` is applied per part exactly as the reference passes it
+        through to ``w_plus_to_s`` (1.0 = plain conversion)."""
+        s_dict = {k: self.w_plus_to_s(v, truncation)
+                  for k, v in w_plus_dict.items()}
         return self.s_dict_to_image(self._fill_s_dict(s_dict))
 
     def z_dict_to_image(self, z_dict):
@@ -242,20 +283,10 @@ class FusionDrawer:
     def _generate_fn(self, latents_type: str, provided: tuple):
         gen, blender, trunc = self.generator, self.blender, self.truncation
         parts = tuple(self.parts)
-        n_latent = gen.n_latent
-
-        def to_s(v, latent, mean):
-            if latents_type == "z":
-                return gen.apply(
-                    v, [latent], truncation=trunc, truncation_latent=mean,
-                    return_style_vector=True,
-                )
-            if latents_type in ("w", "w+"):
-                w = latent
-                if w.ndim == 2:
-                    w = jnp.repeat(w[:, None, :], n_latent, axis=1)
-                return gen.apply(v, [w], input_is_latent=True, return_style_vector=True)
-            return latent
+        # the shared latent-type dispatch — validates latents_type at
+        # program-BUILD time (a typo used to fall through to the 's' path
+        # and fail with an opaque shape error inside the blender)
+        to_s = _to_s_expr(gen, trunc, latents_type)
 
         def run(v, bp, mean, base, *swaps):
             s_base = to_s(v, base, mean)

@@ -262,11 +262,18 @@ def dlib_landmark_provider(predictor_path: str) -> Callable:
     detector = dlib.get_frontal_face_detector()
     predictor = dlib.shape_predictor(predictor_path)
 
-    def landmarks_fn(path: str) -> np.ndarray:
-        img = dlib.load_rgb_image(path)
+    def landmarks_fn(image) -> np.ndarray:
+        # accepts a path or an already-decoded PIL image (the align
+        # preprocess hook decodes once and passes the image)
+        if isinstance(image, str):
+            img = dlib.load_rgb_image(image)
+            name = image
+        else:
+            img = np.asarray(image.convert("RGB"))
+            name = "<PIL image>"
         dets = detector(img, 1)
         if not dets:
-            raise ValueError(f"no face detected in {path}")
+            raise ValueError(f"no face detected in {name}")
         shape = predictor(img, dets[0])
         return np.array([[p.x, p.y] for p in shape.parts()], np.float32)
 
