@@ -160,6 +160,14 @@ class TestPatch:
         c = init_patch_circle(64, 0.05, jax.random.key(1))
         assert c.shape[0] == c.shape[1]
 
+    def test_init_oversized_frac_raises(self):
+        """Clear validation at init instead of an opaque
+        dynamic_update_slice error at placement time inside jit."""
+        with pytest.raises(ValueError, match="pi/4"):
+            init_patch_circle(32, 0.9, jax.random.key(0))
+        with pytest.raises(ValueError, match="patch_frac"):
+            init_patch_square(32, 1.5, jax.random.key(0))
+
     def test_square_transform_mask(self):
         p = init_patch_square(32, 0.1, jax.random.key(0))
         canvas, mask, pos = square_transform(p, 32, jax.random.key(2))
@@ -216,6 +224,20 @@ class TestBaselines:
         out = gaussian_blur_noise(img, 5)
         assert float(out[0, 8, 8, 0]) < 1.0
         assert float(out[0, 7, 8, 0]) > 0.0
+
+    def test_gaussian_blur_explicit_sigma(self):
+        """sigma is a static arg: explicit values must work (a traced-`if`
+        used to raise TracerBoolConversionError) and change the result."""
+        img = jnp.zeros((1, 16, 16, 3)).at[:, 8, 8].set(1.0)
+        narrow = gaussian_blur_noise(img, 5, 0.5)
+        wide = gaussian_blur_noise(img, 5, 3.0)
+        assert narrow.shape == img.shape
+        assert float(narrow[0, 8, 8, 0]) > float(wide[0, 8, 8, 0])
+
+    def test_gaussian_blur_even_kernel_raises(self):
+        img = jnp.zeros((1, 16, 16, 3))
+        with pytest.raises(ValueError, match="odd"):
+            gaussian_blur_noise(img, 4)
 
     def test_dp_noise_scale(self):
         img = jnp.zeros((1, 16, 16, 3))

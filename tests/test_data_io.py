@@ -195,6 +195,30 @@ class TestUtils:
             print("hello-tee")
         assert "hello-tee" in open(log).read()
 
+    def test_logger_tees_stderr(self, tmp_path, capsys):
+        """Crash tracebacks/warnings go to stderr — they must reach the
+        log file too (the dnnlib Logger behaviour)."""
+        import sys
+
+        log = str(tmp_path / "log.txt")
+        with Logger(log):
+            print("to-stderr", file=sys.stderr)
+        content = open(log).read()
+        assert "to-stderr" in content
+        assert sys.stderr is not None and not isinstance(
+            sys.stderr, Logger)  # restored on close
+
+    def test_write_parameters_json_merges(self, tmp_path):
+        from tpufusion.io.artifacts import write_parameters
+        import json as _json
+
+        write_parameters(str(tmp_path), {"a": 1, "b": "x"})
+        write_parameters(str(tmp_path), {"b": "y", "c": 3})
+        txt = open(tmp_path / "parameters.txt").read()
+        assert txt.count("b ") == 2  # append-only txt keeps both records
+        rec = _json.load(open(tmp_path / "parameters.json"))
+        assert rec == {"a": 1, "b": "y", "c": 3}  # sidecar merged, later wins
+
     def test_step_timer(self):
         t = StepTimer()
         for _ in range(3):

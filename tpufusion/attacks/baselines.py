@@ -19,10 +19,16 @@ import jax.numpy as jnp
 from tpufusion.core.imaging import resize_bilinear
 
 
-@functools.partial(jax.jit, static_argnames=("kernel_size",))
+@functools.partial(jax.jit, static_argnames=("kernel_size", "sigma"))
 def gaussian_blur_noise(images: jax.Array, kernel_size: int, sigma: float = 0.0):
     """NHWC Gaussian blur.  ``sigma<=0`` derives it from the kernel size the
-    way cv2.GaussianBlur does (0.3*((k-1)*0.5 - 1) + 0.8)."""
+    way cv2.GaussianBlur does (0.3*((k-1)*0.5 - 1) + 0.8).  ``kernel_size``
+    must be odd (cv2 rejects even kernels too; SAME padding only holds for
+    odd k — an even k would silently grow the spatial dims)."""
+    if kernel_size % 2 == 0:
+        raise ValueError(
+            f"kernel_size must be odd (cv2.GaussianBlur semantics), "
+            f"got {kernel_size}")
     if sigma <= 0:
         sigma = 0.3 * ((kernel_size - 1) * 0.5 - 1) + 0.8
     half = (kernel_size - 1) / 2.0

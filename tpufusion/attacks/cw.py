@@ -70,17 +70,19 @@ def make_cw(logits_fn: Callable, config: CWConfig):
         def cost_fn(w):
             adv = from_tanh_space(w)
             l2 = jnp.sum((adv - images) ** 2, axis=tuple(range(1, adv.ndim)))
-            cost = jnp.sum(l2) + cfg.c * jnp.sum(f(logits_fn(adv, *logits_args), labels))
-            return cost, (adv, l2)
+            logits = logits_fn(adv, *logits_args)
+            cost = jnp.sum(l2) + cfg.c * jnp.sum(f(logits, labels))
+            return cost, (adv, l2, logits)
 
         def step(carry, _):
             w, opt_state, best_adv, best_l2 = carry
-            (cost, (adv, l2)), g = jax.value_and_grad(cost_fn, has_aux=True)(w)
+            (cost, (adv, l2, logits)), g = jax.value_and_grad(
+                cost_fn, has_aux=True)(w)
             updates, opt_state = opt.update(g, opt_state)
             w = optax.apply_updates(w, updates)
             # keep per-sample best: misclassified (f<=0 margin satisfied)
-            # AND lower L2 (`interpolation.py:156-162`)
-            logits = logits_fn(adv, *logits_args)
+            # AND lower L2 (`interpolation.py:156-162`); the logits ride
+            # out of cost_fn's aux — a second forward would cost ~+30%/step
             succ = f(logits, labels) <= 0
             better = jnp.logical_and(succ, l2 < best_l2)
             sel = better.reshape((-1,) + (1,) * (adv.ndim - 1))

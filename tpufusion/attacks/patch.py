@@ -52,14 +52,27 @@ def init_patch_square(image_size: int, patch_frac: float, key) -> jax.Array:
     """Random square patch, values in [-1, 1] (images are normalised here;
     the reference inits in [0,1] pre-normalisation space)."""
     side = patch_side(image_size, patch_frac)
+    if side > image_size:
+        raise ValueError(
+            f"patch_frac={patch_frac} gives a {side}x{side} square patch "
+            f"larger than the {image_size}x{image_size} image "
+            f"(patch_frac must be <= 1)")
     return jax.random.uniform(key, (side, side, 3), minval=-1.0, maxval=1.0)
 
 
 def init_patch_circle(image_size: int, patch_frac: float, key) -> jax.Array:
     """Random circular patch embedded in its bounding square; outside-circle
-    pixels are zero (they never enter the mask)."""
+    pixels are zero (they never enter the mask).  ``patch_frac`` must be
+    <= pi/4 (~0.785): beyond that the bounding square exceeds the image and
+    the placement would fail with an opaque dynamic_update_slice error
+    inside jit."""
     radius = int(round(math.sqrt(image_size * image_size * patch_frac / math.pi)))
     side = max(2 * radius, 2)
+    if side > image_size:
+        raise ValueError(
+            f"patch_frac={patch_frac} gives a {side}x{side} bounding square "
+            f"larger than the {image_size}x{image_size} image — circle "
+            f"patches need patch_frac <= pi/4 (~0.785)")
     patch = jax.random.uniform(key, (side, side, 3), minval=-1.0, maxval=1.0)
     return patch * _circle_mask(side)
 

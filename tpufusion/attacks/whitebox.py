@@ -330,7 +330,12 @@ def vmap_whitebox_stepwise(pipeline: FusionPipeline, config: WhiteboxConfig):
         lambda p, img, tgt: init.jitted(p, img[None], tgt[None]),
         in_axes=(None, 0, 0),
     ))
-    vstep = jax.jit(jax.vmap(step.jitted, in_axes=(None, 0)))
+    # re-declare donation on the OUTER jit: the inner step_impl's
+    # donate_argnums does not survive inlining into this program, and
+    # without it every vmapped step copies the full attack state
+    # (~0.5 GB/step pixel buffer + Adam moments at 1024^2 batch-8)
+    vstep = jax.jit(jax.vmap(step.jitted, in_axes=(None, 0)),
+                    donate_argnums=(1,))
     every = config.snapshot_every
     if every:
         enc, dec, factor = (pipeline.encode_fn(), pipeline.decode_fn(),

@@ -44,14 +44,25 @@ def new_adv_dir(base_dir: str, postfix: str) -> str:
 
 def write_parameters(run_dir: str, params: Mapping, filename: str = "parameters.txt") -> str:
     """Append a ``key value`` record per entry + a machine-readable JSON
-    sidecar (the reference writes only the txt)."""
+    sidecar (the reference writes only the txt).  Repeated calls into the
+    same run dir MERGE into the sidecar (later keys win) so it stays
+    consistent with the append-only txt record."""
     path = os.path.join(run_dir, filename)
     with open(path, "a") as f:
         for k, v in params.items():
             f.write(f"{k} {v}\n")
-    with open(os.path.splitext(path)[0] + ".json", "w") as f:
-        json.dump({k: repr(v) if not _jsonable(v) else v for k, v in params.items()}, f,
-                  indent=2)
+    json_path = os.path.splitext(path)[0] + ".json"
+    record = {}
+    if os.path.exists(json_path):
+        try:
+            with open(json_path) as f:
+                record = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            record = {}
+    record.update(
+        {k: repr(v) if not _jsonable(v) else v for k, v in params.items()})
+    with open(json_path, "w") as f:
+        json.dump(record, f, indent=2)
     return path
 
 

@@ -101,10 +101,16 @@ class Discriminator(nn.Module):
             x = ResBlock(ch[res // 2], policy=self.policy, name=f"block_{res}")(x)
             res //= 2
 
-        # minibatch stddev (group stat channel)
+        # minibatch stddev (group stat channel).  Group = min(batch,
+        # stddev_group) when that divides the batch (the reference's only
+        # supported case — its reshape hard-fails otherwise); for a
+        # non-divisible batch we take the LARGEST divisor of n <= that,
+        # keeping a meaningful cross-sample statistic instead of silently
+        # degrading to a degenerate all-zero stddev channel (g=1).
         n, h, w, c = x.shape
         g = min(self.stddev_group, n)
-        g = n // (n // g) if n % g == 0 else 1
+        while n % g:
+            g -= 1
         y = x.reshape(g, n // g, h, w, c).astype(jnp.float32)
         std = jnp.sqrt(jnp.var(y, axis=0) + 1e-8)
         std = jnp.mean(std, axis=(1, 2, 3), keepdims=True)

@@ -37,16 +37,43 @@ class EasyDict(dict):
         del self[name]
 
 
+class _StderrTee:
+    """Companion stream: writes reach the log file AND the real stderr —
+    crash tracebacks/warnings land in the one artifact inspected after a
+    failed run."""
+
+    def __init__(self, logger: "Logger"):
+        self._logger = logger
+
+    def write(self, text: str) -> None:
+        if len(text) == 0:
+            return
+        if self._logger.file is not None:
+            self._logger.file.write(text)
+        self._logger.stderr.write(text)
+        if self._logger.should_flush:
+            self.flush()
+
+    def flush(self) -> None:
+        if self._logger.file is not None:
+            self._logger.file.flush()
+        self._logger.stderr.flush()
+
+
 class Logger:
-    """Tee stdout (and optionally stderr) to a log file."""
+    """Tee stdout (and, by default, stderr) to a log file — the dnnlib
+    Logger behaviour the reference wraps its drivers in."""
 
     def __init__(self, file_name: Optional[str] = None, mode: str = "w",
-                 should_flush: bool = True):
+                 should_flush: bool = True, capture_stderr: bool = True):
         self.file = open(file_name, mode) if file_name else None
         self.should_flush = should_flush
         self.stdout = sys.stdout
         self.stderr = sys.stderr
+        self._stderr_tee = _StderrTee(self) if capture_stderr else None
         sys.stdout = self
+        if self._stderr_tee is not None:
+            sys.stderr = self._stderr_tee
 
     def __enter__(self):
         return self
@@ -71,6 +98,8 @@ class Logger:
     def close(self) -> None:
         if sys.stdout is self:
             sys.stdout = self.stdout
+        if self._stderr_tee is not None and sys.stderr is self._stderr_tee:
+            sys.stderr = self.stderr
         if self.file is not None:
             self.file.close()
             self.file = None
