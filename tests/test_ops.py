@@ -252,6 +252,27 @@ class TestFusedStyledConv:
                     assert th % 2 == 0, (h, cin, itemsize, th)
                     assert h % th == 0, (h, cin, itemsize, th)
 
+    def test_dispatch_rejects_non_4d_noise(self, monkeypatch):
+        """Only (1, H, W, 1) shared noise qualifies for the kernel — a
+        bare (H, W) noise used to pass the structural gate and crash on
+        noise.shape[-3] inside the kernel builder."""
+        import tpufusion.ops.styled_conv as sc
+
+        x = jax.random.normal(jax.random.key(0), (1, 16, 16, 8))
+        w = jax.random.normal(jax.random.key(1), (3, 3, 8, 8)) * 0.1
+        s, ns, b = jnp.ones((1, 8)), jnp.zeros(()), jnp.zeros((8,))
+        hit = []
+        monkeypatch.setattr(sc, "fused_styled_conv",
+                            lambda *a, **k: hit.append(1))
+        n2 = jax.random.normal(jax.random.key(2), (16, 16))
+        with pytest.raises(Exception):
+            # composite broadcast error is acceptable; the kernel is not
+            sc.styled_conv(x, w, s, n2, ns, b, use_pallas=True)
+        assert not hit
+        n4 = n2[None, :, :, None]
+        sc.styled_conv(x, w, s, n4, ns, b, use_pallas=True)
+        assert hit  # shared 4-D noise still routes to the kernel
+
     def test_non_power_of_two_height_parity(self):
         """A non-power-of-two (but even) H goes through the guarded tile
         path and still matches the XLA composite."""

@@ -241,6 +241,37 @@ class TestCLI:
         assert rc == 0
         assert (tmp_path / "runs" / "church").exists()
 
+    def test_attack_run_cli_empty_attacks_fails_fast(self, tmp_path):
+        """`--attacks` with zero names (nargs='*') must fail with a clear
+        message BEFORE the pipeline build, not at cfg.attacks[0]."""
+        from tpufusion.cli.attack_run import main
+
+        with pytest.raises(SystemExit, match="no attacks"):
+            main(["--attacks", "--tiny", "--size", "32",
+                  "--save_dir", str(tmp_path)])
+
+    def test_attack_run_cli_snapshot_flush_override_preset(self, tmp_path):
+        """--snapshot_every / --flush_every typed alongside --config must
+        override the preset (they were missing from the override table)."""
+        import json
+
+        from tpufusion.cli.attack_run import main
+
+        preset = tmp_path / "p.json"
+        preset.write_text(json.dumps({
+            "dataset_name": "church", "attacks": ["white_box_target"],
+            "n_iters": 4, "snapshot_every": 2,
+        }))
+        rc = main(["--config", str(preset), "--tiny", "--size", "32",
+                   "--snapshot_every", "0", "--flush_every", "1",
+                   "--save_dir", str(tmp_path / "runs")])
+        assert rc == 0
+        run_dir = [d for d in (tmp_path / "runs" / "church").iterdir()
+                   if "white_box" in d.name][0]
+        names = os.listdir(run_dir)
+        # snapshot_every 0 (CLI) beat the preset's 2: no snapshot montages
+        assert not [n for n in names if n.startswith("adv_input_")]
+
     def test_attack_run_cli_preset_paths_and_flags_round_trip(self, tmp_path):
         """Preset paths (target_image) and CLI flags outside the numeric
         override table (--max_num_fusion, --no_save_img) must all take

@@ -43,11 +43,12 @@ def make_fused_image_fn(pipeline: FusionPipeline, mode: str = "arithmetic"):
     from tpufusion.fusion.drawer import SWAP_TABLE
 
     def latents_of(params, inputs):
-        codes = enc(params["enc"], avg_pool(inputs, factor))
-        codes = codes + latent_avg[None].astype(codes.dtype)
-        if is_cars and codes.shape[1] == 18:
-            codes = codes[:, :16]
-        return codes
+        # the ONE latent definition (pipeline.latents_with) — traced here
+        # with params passed as program inputs
+        from tpufusion.pipeline import latents_with
+
+        return latents_with(enc, params["enc"], latent_avg, factor,
+                            is_cars, inputs)
 
     if mode == "arithmetic":
 

@@ -70,7 +70,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "adversarial_patch.py:211-213)")
     p.add_argument("--paste_times", type=int, default=3)
     p.add_argument("--scale", type=float, default=0.4)
-    p.add_argument("--pgd_steps", type=int, default=40)
+    p.add_argument("--pgd_steps", type=int, default=100,
+                   help="PGD iteration budget (reference recipe: 100, `interpolation.py:1343`)")
     p.add_argument("--train_size", type=int, default=2000)
     p.add_argument("--test_size", type=int, default=1000)
     p.add_argument("--max_num_fusion", type=int, default=1,
@@ -200,6 +201,8 @@ def main(argv=None) -> int:
             ("patch_npz", "patch_npz"), ("max_num_fusion", "max_num_fusion"),
             ("which_adv", "which_adv"), ("seed", "seed"),
             ("whitebox_preset", "whitebox_preset"),
+            ("snapshot_every", "snapshot_every"),
+            ("flush_every", "flush_every"),
         ]:
             if cli_key in explicit:
                 setattr(cfg, cfg_key, getattr(args, cli_key))
@@ -285,6 +288,12 @@ def main(argv=None) -> int:
             adv_inputs_path=args.adv_inputs_path,
         ),
     )
+
+    if not cfg.attacks:
+        # nargs='*' permits `--attacks` with zero names; fail BEFORE the
+        # (minutes-long at real scale) pipeline build, not at cfg.attacks[0]
+        raise SystemExit("no attacks requested — pass at least one name "
+                         f"to --attacks (choices: {', '.join(ATTACK_CHOICES)})")
 
     # seeding happens AFTER preset resolution so a preset-carried seed is
     # honoured (ADVICE r2: the pool used to be seeded from args.seed before
@@ -402,6 +411,9 @@ def main(argv=None) -> int:
         inputs = input_groups[0]
     else:
         print("[attack_run] no --images_dir: generating inputs from the generator")
+        # record the data-free path in the run metadata (the reference's
+        # --use_generate_img flag, `attack_main2.py:1001-1002`)
+        cfg.use_generate_img = True
         input_groups = [generate_inputs(pipeline, n, pool.next())
                         for _ in range(n_groups)]
         inputs = input_groups[0]

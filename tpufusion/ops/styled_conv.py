@@ -237,7 +237,11 @@ def styled_conv(x, weight, style, noise, noise_strength, bias,
     the kernel wherever it is structurally possible.
     """
     h, w, cin = x.shape[1], x.shape[2], x.shape[3]
-    shared_noise = noise.ndim <= 2 or noise.shape[0] == 1
+    # shared = ONE (1, H, W, 1) noise plane tiled across the batch; the
+    # kernel indexes noise.shape[-3:-1], so only 4-D layouts qualify (a
+    # bare (H, W) noise is not broadcastable against NHWC in the composite
+    # either — reject it structurally instead of crashing mid-kernel)
+    shared_noise = noise.ndim == 4 and noise.shape[0] == 1
     structural = (weight.shape[0] == 3 and h >= 16
                   and h % 2 == 0 and w % 2 == 0 and shared_noise)
     if use_pallas is None:

@@ -181,9 +181,9 @@ def make_sharded_whitebox_step(pipeline, config, mesh: Mesh):
     factor = pipeline.pool_factor
     opt = optax.adam(config.lr)
 
-    def mse_b(a, b):  # per-sample MSE, mean over batch -> same grads as
-        d = a.astype(jnp.float32) - b.astype(jnp.float32)  # per-image Adam up
-        return jnp.mean(d * d, axis=tuple(range(1, a.ndim)))  # to lr scaling
+    # per-sample MSE (the shared eval.metrics definition); summed per image
+    # -> same grads as per-image Adam up to lr scaling
+    from tpufusion.eval.metrics import mse_per_image as mse_b
 
     def loss_fn(params, x, img_org, target_img, latent_org, latent_target,
                 feats_org, feats_target):
@@ -280,6 +280,7 @@ def make_sharded_patch_train_step(pipeline, config, mesh: Mesh):
 
     from tpufusion.attacks.patch import circle_transform, square_transform
     from tpufusion.core.imaging import avg_pool
+    from tpufusion.eval.metrics import mse_per_image
 
     cfg = config
     enc = pipeline.encode_fn()
@@ -303,8 +304,7 @@ def make_sharded_patch_train_step(pipeline, config, mesh: Mesh):
             adv = (1.0 - masks) * imgs + masks * canvases
             adv_latent = enc(params["enc"], avg_pool(adv, factor))
             # weighted mean of per-image losses: padded rows carry weight 0
-            d = (latent_org - adv_latent).astype(jnp.float32)
-            per = jnp.mean(d * d, axis=tuple(range(1, d.ndim)))
+            per = mse_per_image(latent_org, adv_latent)
             return cfg.w_latent_org * jnp.sum(row_weights * per) / wsum
 
         grad_fn = jax.value_and_grad(loss_fn)
@@ -613,11 +613,12 @@ def make_sharded_group_eval(pipeline, mesh: Mesh):
     )
 
     def latents_of(p, imgs):
-        codes = enc(p["enc"], avg_pool(imgs, factor))
-        codes = codes + latent_avg[None].astype(codes.dtype)
-        if is_cars and codes.shape[1] == 18:
-            codes = codes[:, :16]
-        return codes
+        # the ONE latent definition (pipeline.latents_with), like the
+        # shared fused_image_metrics_with below
+        from tpufusion.pipeline import latents_with
+
+        return latents_with(enc, p["enc"], latent_avg, factor,
+                            is_cars, imgs)
 
     def spatial_of(p, variants):
         # variants (K, N, L, 512): each role's latent batched over K

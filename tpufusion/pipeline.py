@@ -27,6 +27,20 @@ from tpufusion.models.e4e import Encoder4Editing, create_encoder
 from tpufusion.models.vgg16 import VGG16, create_vgg16
 
 
+def latents_with(enc_apply, enc_vars, latent_avg, pool_factor: int,
+                 is_cars: bool, images):
+    """Params-explicit core of :meth:`FusionPipeline.get_latents`
+    (`attack_main2.py:137-146`: encoder + latent-average offset + cars
+    18->16 trim) — the ONE latent definition, shared with the traced
+    attack/eval programs (``attacks.fusion_attack``,
+    ``parallel.sharding``) so the paths cannot drift."""
+    codes = enc_apply(enc_vars, avg_pool(images, pool_factor))
+    codes = codes + latent_avg[None].astype(codes.dtype)
+    if is_cars and codes.shape[1] == 18:
+        codes = codes[:, :16]
+    return codes
+
+
 @dataclasses.dataclass
 class FusionPipeline:
     dataset: str
@@ -220,12 +234,9 @@ class FusionPipeline:
 
     def get_latents(self, images):
         """C5 ``get_latents`` (`attack_main2.py:137-146`): encoder + latent
-        average offset + cars 18->16 trim."""
-        codes = self.encode(images)
-        codes = codes + self.latent_avg[None].astype(codes.dtype)
-        if self.is_cars and codes.shape[1] == 18:
-            codes = codes[:, :16]
-        return codes
+        average offset + cars 18->16 trim (core: :func:`latents_with`)."""
+        return latents_with(self._encode, self.enc_vars, self.latent_avg,
+                            self.pool_factor, self.is_cars, images)
 
     def decode(self, w_plus):
         return self._decode(self.drawer.gen_vars, w_plus)
