@@ -32,15 +32,9 @@ def main(argv=None) -> int:
 
     import jax
 
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                     ".jax_cache_tpu" if not args.tiny else "tests/.jax_cache"),
-    )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    if args.tiny:
-        jax.config.update("jax_platforms", "cpu")
+    from benchmarks.common import setup_cache
+
+    setup_cache(tiny=args.tiny)  # tiny also forces the CPU backend
 
     import jax.numpy as jnp
 
@@ -74,13 +68,20 @@ def main(argv=None) -> int:
     )
 
     def report(i, name, fn):
+        # warm run first: trace+compile must not sit inside the timed
+        # region (every other benchmark in the repo warms then times;
+        # scalar fetch = the tunnel-reliable completion barrier)
         t0 = time.time()
-        trace = fn()  # returns the loss trace; fetching forces completion
+        _ = float(fn()[-1])
+        warm_s = time.time() - t0
+        t0 = time.time()
+        trace = fn()
         first, last = float(trace[0]), float(trace[-1])
         dt = time.time() - t0
         print(json.dumps({
             "config": i, "name": name, "seconds": round(dt, 2),
             "steps_per_sec": round(len(trace) / dt, 2),
+            "warm_seconds": round(warm_s, 2),
             "loss_first": round(first, 5), "loss_last": round(last, 5),
         }), flush=True)
 

@@ -101,12 +101,9 @@ def jax_step_ms(size: int, steps: int) -> float:
     """tpufusion stepwise whitebox step on the same CPU; ms/step."""
     import jax
 
-    jax.config.update("jax_platforms", "cpu")
-    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "..", "tests", ".jax_cache")
-    jax.config.update("jax_compilation_cache_dir", cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    from benchmarks.common import setup_cache
+
+    setup_cache(tiny=True, min_compile_secs=0.3)
 
     import jax.numpy as jnp
 

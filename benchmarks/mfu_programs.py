@@ -159,16 +159,10 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
+    from benchmarks.common import bf16_params, setup_cache
+
     tiny = os.environ.get("MP_TINY", "0") == "1"
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    if tiny:
-        jax.config.update("jax_platforms", "cpu")
-        cache = os.path.join(root, "tests/.jax_cache")
-    else:
-        cache = os.path.join(root, ".jax_cache_tpu")
-    jax.config.update("jax_compilation_cache_dir", cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    setup_cache(tiny=tiny)
 
     program = os.environ.get("MP_PROGRAM", "fusion_pgd")
     if program not in BUILDERS:
@@ -193,14 +187,9 @@ def main() -> int:
         f"in {time.time() - t0:.1f}s")
 
     if os.environ.get("MP_BF16_PARAMS", "0") == "1":
-        def cast(t):
-            return jax.tree.map(
-                lambda a: a.astype(jnp.bfloat16)
-                if hasattr(a, "dtype") and a.dtype == jnp.float32 else a, t)
-
-        pipeline.enc_vars = cast(pipeline.enc_vars)
-        pipeline.drawer.gen_vars = cast(pipeline.drawer.gen_vars)
-        pipeline.vgg_vars = cast(pipeline.vgg_vars)
+        pipeline.enc_vars = bf16_params(pipeline.enc_vars)
+        pipeline.drawer.gen_vars = bf16_params(pipeline.drawer.gen_vars)
+        pipeline.vgg_vars = bf16_params(pipeline.vgg_vars)
         log("params pre-cast to bf16")
 
     from benchmarks.hbm_breakdown import (

@@ -37,11 +37,9 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(root, ".jax_cache_tpu"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    from benchmarks.common import bf16_params, setup_cache
+
+    setup_cache()
 
     size = int(os.environ.get("MFU_SIZE", "1024"))
     batch = int(os.environ.get("MFU_BATCH", "8"))
@@ -69,14 +67,9 @@ def main() -> int:
         # params are step-invariant: pre-cast to bf16 ONCE so the step stops
         # paying the fp32 read + cast + bf16 write for every weight each
         # iteration (the breakdown shows ~6 GB/step of weight copy traffic)
-        def cast(t):
-            return jax.tree.map(
-                lambda a: a.astype(jnp.bfloat16)
-                if hasattr(a, "dtype") and a.dtype == jnp.float32 else a, t)
-
-        pipeline.enc_vars = cast(pipeline.enc_vars)
-        pipeline.drawer.gen_vars = cast(pipeline.drawer.gen_vars)
-        pipeline.vgg_vars = cast(pipeline.vgg_vars)
+        pipeline.enc_vars = bf16_params(pipeline.enc_vars)
+        pipeline.drawer.gen_vars = bf16_params(pipeline.drawer.gen_vars)
+        pipeline.vgg_vars = bf16_params(pipeline.vgg_vars)
         print("[mfu] params pre-cast to bf16", file=sys.stderr, flush=True)
 
     cfg = WhiteboxConfig(lr=1e-3, n_iters=1, weights=PRESET_ATTACK_MAIN)

@@ -24,39 +24,20 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def sync(x) -> float:
-    """Timing barrier: scalar fetch (block_until_ready does not synchronise
-    on the tunnel backend)."""
-    import jax.numpy as jnp
-
-    return float(jnp.sum(x))
-
-
 def bench(fn, args, iters: int) -> float:
-    """Median-of-3 steady-state seconds per call."""
-    sync(fn(*args))  # compile + warm
-    best = []
-    for _ in range(3):
-        t0 = time.time()
-        out = None
-        for _ in range(iters):
-            out = fn(*args)
-        sync(out)
-        best.append((time.time() - t0) / iters)
-    return sorted(best)[1]
+    """Median-of-3 steady-state seconds per call (shared timer)."""
+    from benchmarks.common import timed_median
+
+    return timed_median(fn, *args, calls=iters)
 
 
 def main() -> int:
     import jax
     import jax.numpy as jnp
 
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                     ".jax_cache_tpu"),
-    )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    from benchmarks.common import setup_cache
+
+    setup_cache()
 
     from tpufusion.models.stylegan2 import channel_map
     from tpufusion.ops.styled_conv import fused_styled_conv, styled_conv_reference

@@ -33,11 +33,9 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(root, ".jax_cache_tpu"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    from benchmarks.common import setup_cache
+
+    setup_cache()
 
     size = int(os.environ.get("PW_SIZE", "1024"))
     batch = int(os.environ.get("PW_BATCH", "8"))

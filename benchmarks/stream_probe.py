@@ -27,11 +27,9 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(root, ".jax_cache_tpu"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    from benchmarks.common import setup_cache
+
+    setup_cache()
 
     K = int(os.environ.get("PROBE_PASSES", "50"))
 

@@ -33,18 +33,9 @@ BW = 819e9
 
 
 def measure(name, fn, *args, iters=10):
-    import jax
+    from benchmarks.common import timed_median
 
-    out = fn(*args)
-    _ = float(jax.tree.leaves(out)[0].ravel()[0])  # compile+warm barrier
-    times = []
-    for _ in range(3):
-        t0 = time.time()
-        for _ in range(iters):
-            out = fn(*args)
-        _ = float(jax.tree.leaves(out)[0].ravel()[0])
-        times.append((time.time() - t0) / iters)
-    sec = sorted(times)[1]
+    sec = timed_median(fn, *args, calls=iters)
     try:
         compiled = fn.lower(*args).compile()
         ca = compiled.cost_analysis()
@@ -68,11 +59,9 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(root, ".jax_cache_tpu"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    from benchmarks.common import setup_cache
+
+    setup_cache()
 
     size = int(os.environ.get("WP_SIZE", "1024"))
     batch = int(os.environ.get("WP_BATCH", "8"))

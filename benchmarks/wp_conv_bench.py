@@ -24,11 +24,9 @@ def main() -> int:
     import jax.numpy as jnp
     from jax import lax
 
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(root, ".jax_cache_tpu"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    from benchmarks.common import setup_cache, timed_median
+
+    setup_cache()
 
     from tpufusion.ops.pallas_conv import conv3x3_wp
 
@@ -46,18 +44,7 @@ def main() -> int:
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
     def timed(fn, *args):
-        out = fn(*args)
-        _ = float(jnp.sum(out[0] if isinstance(out, tuple) else out)
-                  .astype(jnp.float32))  # tunnel barrier = scalar fetch
-        times = []
-        for _r in range(3):
-            t0 = time.time()
-            for _c in range(calls):
-                out = fn(*args)
-            _ = float(jnp.sum(out[0] if isinstance(out, tuple) else out)
-                      .astype(jnp.float32))
-            times.append((time.time() - t0) / calls)
-        return sorted(times)[1]
+        return timed_median(fn, *args, calls=calls)
 
     if jnp.dtype(dtype).itemsize > 2:
         print(json.dumps({"skipped": "conv3x3_wp kernels are VMEM-sized "

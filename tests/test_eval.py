@@ -184,7 +184,10 @@ class TestResultsTable:
         _, rows = read_xlsx(path)
         assert rows[0][0] == 0.5 and rows[0][1] == 7.0 and rows[0][4] == 1.25
         assert isinstance(rows[0][0], float) and isinstance(rows[0][1], float)
-        assert rows[0][2] == "" and rows[0][3] == ""  # blank cells
+        # blank cells read back as None — the SAME sentinel as cells
+        # omitted entirely (openpyxl style), so numeric consumers see one
+        # missing-value convention
+        assert rows[0][2] is None and rows[0][3] is None
 
     def test_read_xlsx_sparse_rows_keep_columns(self, tmp_path):
         """openpyxl-written sheets OMIT empty cells (e.g. NaN metrics);

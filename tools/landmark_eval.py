@@ -120,8 +120,8 @@ def main(argv=None) -> int:
                         "ignores JAX_PLATFORMS; this calls "
                         "jax.config.update instead)")
     args = p.parse_args(argv)
-    if args.size is None and not args.weights:
-        args.size = 128  # --weights resolves from its sidecar below
+    if args.size is None and not args.weights and not args.packaged:
+        args.size = 128  # --weights/--packaged resolve from their sidecars
 
     import jax
 
@@ -147,9 +147,18 @@ def main(argv=None) -> int:
         from tpufusion.models.landmarks import load_packaged_landmark_net
 
         net, variables, size = load_packaged_landmark_net()
-        args.size, args.width = size, net.width
+        args.width = net.width
+        if args.size is not None and args.size != size:
+            # honour an explicit off-distribution request, loudly (mirrors
+            # the --weights branch)
+            print(f"[landmark_eval] WARNING: --size {args.size} differs "
+                  f"from the packaged net's training size {size}; "
+                  f"evaluating OFF-distribution as requested",
+                  file=sys.stderr)
+        else:
+            args.size = size
         print(f"[landmark_eval] packaged net (width {net.width}, "
-              f"input {size})", file=sys.stderr)
+              f"input {size}, eval size {args.size})", file=sys.stderr)
         metrics = {"weights_in": "packaged"}
     elif args.weights:
         from tpufusion.models.landmarks import landmark_net_input_size
@@ -221,8 +230,9 @@ def main(argv=None) -> int:
               f"in {time.time() - t0:.1f}s", file=sys.stderr)
 
     if args.out:
-        save_landmark_net(variables, args.out, input_size=args.size)
-        metrics["weights"] = args.out
+        # record the path actually written (save appends .npz if absent)
+        metrics["weights"] = save_landmark_net(variables, args.out,
+                                               input_size=args.size)
     print(json.dumps(metrics))
     return 0
 

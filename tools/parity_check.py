@@ -48,10 +48,13 @@ def mae(a, b) -> float:
 
 
 def psnr(a, b) -> float:
+    """PSNR over [-1, 1] images: normalise to [0, 1] (peak 1.0) so the
+    peak^2 numerator matches the scaled inputs — using 4.0 here with
+    half-scaled inputs would inflate every value by exactly 6.02 dB."""
     import numpy as np
 
     m = np.mean((np.asarray(a, np.float32) / 2 - np.asarray(b, np.float32) / 2) ** 2)
-    return float(10.0 * np.log10(4.0 / max(m, 1e-12)))
+    return float(10.0 * np.log10(1.0 / max(m, 1e-12)))
 
 
 def check_mode(pipeline, images_dir: str, mode: str, out_dir: str | None,

@@ -60,14 +60,24 @@ def write_parameters(run_dir: str, params: Mapping, filename: str = "parameters.
         except (json.JSONDecodeError, OSError):
             record = {}
     record.update(
-        {k: repr(v) if not _jsonable(v) else v for k, v in params.items()})
-    with open(json_path, "w") as f:
+        {k: v if _jsonable(v) else repr(v) for k, v in params.items()})
+    # atomic replace: a crash mid-dump must not leave a truncated sidecar
+    # (the merge above would then silently reset it to {})
+    tmp = json_path + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(record, f, indent=2)
+    os.replace(tmp, json_path)
     return path
 
 
 def _jsonable(v):
-    return isinstance(v, (str, int, float, bool, type(None), list, dict))
+    """True only if the WHOLE value serialises (a list holding an np.int64
+    passes an isinstance check but blows up json.dump mid-write)."""
+    try:
+        json.dumps(v)
+        return True
+    except (TypeError, ValueError):
+        return False
 
 
 class ArtifactStore:

@@ -55,6 +55,12 @@ def _linear(w):  # torch (out,in) -> flax (in,out)
     return np.transpose(np.asarray(w), (1, 0))
 
 
+# Public aliases — the ONE torch->flax layout definition, reused by every
+# converter (resnet/lpips/vit) so a layout fix cannot be missed in a copy.
+torch_conv_kernel = _conv
+torch_linear_kernel = _linear
+
+
 # ---------------------------------------------------------------------------
 # StyleGAN2 generator (rosinality g_ema layout)
 # ---------------------------------------------------------------------------
@@ -124,6 +130,9 @@ def _bn(sd, prefix):
         "mean": np.asarray(sd[f"{prefix}.running_mean"]),
         "var": np.asarray(sd[f"{prefix}.running_var"]),
     }
+
+
+torch_bn_params = _bn  # public alias (see torch_conv_kernel)
 
 
 def convert_e4e_checkpoint(ckpt: Mapping, encoder) -> tuple[dict, np.ndarray]:

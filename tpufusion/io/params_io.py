@@ -22,6 +22,12 @@ def _flatten(tree, prefix=""):
 
 
 def save_pytree(tree, path: str) -> str:
+    """Save a pytree as a flat npz; returns the path ACTUALLY written —
+    np.savez appends '.npz' to extension-less paths, so returning the
+    input verbatim would point at a nonexistent file (and misplace any
+    sidecar derived from it)."""
+    if not path.endswith(".npz"):
+        path = path + ".npz"
     np.savez(path, **_flatten(jax.device_get(tree)))
     return path
 

@@ -148,9 +148,15 @@ def read_xlsx(path: str):
                         el.text or "" for el in c.iter(f"{ns}t")))
                     continue
                 v = c.find(f"{ns}v")
-                text = v.text if v is not None else ""
+                text = v.text if v is not None else None
                 if t == "s":
                     vals.append(shared[int(text)])
+                elif text is None:
+                    # a present-but-valueless cell (our writer's NaN/inf
+                    # blanks) reads back as None — the SAME sentinel as a
+                    # cell omitted entirely, not a '' the caller's float()
+                    # would choke on
+                    vals.append(None)
                 else:
                     try:
                         vals.append(float(text))

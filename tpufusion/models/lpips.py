@@ -136,9 +136,10 @@ def convert_torch_lpips(state: dict, backbone: Optional[dict] = None) -> dict:
     params = {}
 
     def _put_conv(name, w, b):
-        w = np.asarray(w)
-        # torch conv weight (O, I, kh, kw) -> flax (kh, kw, I, O)
-        params[name] = dict(kernel=jnp.asarray(w.transpose(2, 3, 1, 0)),
+        # the shared torch OIHW -> flax HWIO layout definition
+        from tpufusion.io.checkpoint import torch_conv_kernel
+
+        params[name] = dict(kernel=jnp.asarray(torch_conv_kernel(w)),
                             bias=jnp.asarray(np.asarray(b)))
 
     net_keys = sorted(

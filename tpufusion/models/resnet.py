@@ -89,18 +89,14 @@ def create_resnet18(key: jax.Array, num_classes: int = 2, *,
 
 def convert_resnet18_checkpoint(state: dict, model: ResNet) -> dict:
     """torchvision resnet18 state dict -> our NHWC params."""
+    import functools
+
     import numpy as np
 
-    def conv(w):
-        return np.transpose(np.asarray(w), (2, 3, 1, 0))
+    from tpufusion.io.checkpoint import torch_bn_params, torch_conv_kernel
 
-    def bn(prefix):
-        return {
-            "scale": np.asarray(state[f"{prefix}.weight"]),
-            "bias": np.asarray(state[f"{prefix}.bias"]),
-            "mean": np.asarray(state[f"{prefix}.running_mean"]),
-            "var": np.asarray(state[f"{prefix}.running_var"]),
-        }
+    conv = torch_conv_kernel
+    bn = functools.partial(torch_bn_params, state)
 
     p: dict = {
         "conv1": {"kernel": conv(state["conv1.weight"])},

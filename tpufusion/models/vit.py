@@ -117,8 +117,10 @@ def create_vit(key: jax.Array, num_labels: int,
 
 
 def _dense(state, prefix):
-    # torch Linear (out, in) -> flax (in, out)
-    return dict(kernel=jnp.asarray(np.asarray(state[prefix + ".weight"]).T),
+    # the shared torch (out, in) -> flax (in, out) layout definition
+    from tpufusion.io.checkpoint import torch_linear_kernel
+
+    return dict(kernel=jnp.asarray(torch_linear_kernel(state[prefix + ".weight"])),
                 bias=jnp.asarray(np.asarray(state[prefix + ".bias"])))
 
 
