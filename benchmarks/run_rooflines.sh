@@ -22,6 +22,7 @@ run fusion_remat MP_PROGRAM=fusion_pgd MP_REMAT=1 python benchmarks/mfu_programs
 run fusion_bf16  MP_PROGRAM=fusion_pgd MP_BF16_PARAMS=1 python benchmarks/mfu_programs.py
 run patch_remat  MP_PROGRAM=patch MP_REMAT=1 python benchmarks/mfu_programs.py
 run patch_bf16   MP_PROGRAM=patch MP_BF16_PARAMS=1 python benchmarks/mfu_programs.py
-# whitebox with the width-packed Pallas tail convs (end-to-end lever)
+# width-packed Pallas tail convs as an end-to-end lever (DESIGN 9b)
 run wb_wp     TPUFUSION_WP_TAIL=1 python benchmarks/mfu_whitebox.py
+run fusion_wp TPUFUSION_WP_TAIL=1 MP_PROGRAM=fusion_pgd python benchmarks/mfu_programs.py
 echo "all artifacts in $OUT"

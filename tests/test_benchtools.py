@@ -170,3 +170,37 @@ ENTRY %main (p.1: f32[8,1024]) -> f32[2,1024] {
         # async slice reads 2x1024 floats from p.1 into VMEM (8KB) + the
         # negate's HBM output write (8KB); the done-view read is free
         assert abs(total - 2 * 2 * 1024 * 4) < 1e3  # total_gb is rounded to 1 KB
+
+
+class TestBenchCommon:
+    """benchmarks/common.py — the shared plumbing every benchmark script
+    imports (cache setup, bf16 pre-cast, median timing)."""
+
+    def test_bf16_params_casts_only_f32(self):
+        from benchmarks.common import bf16_params
+
+        tree = {"w": jnp.ones((2, 2), jnp.float32),
+                "i": jnp.ones((2,), jnp.int32),
+                "b": jnp.ones((2,), jnp.bfloat16),
+                "s": "not-an-array"}
+        out = bf16_params(tree)
+        assert out["w"].dtype == jnp.bfloat16
+        assert out["i"].dtype == jnp.int32
+        assert out["b"].dtype == jnp.bfloat16
+        assert out["s"] == "not-an-array"
+
+    def test_timed_median_returns_positive_seconds(self):
+        from benchmarks.common import timed_median
+
+        f = jax.jit(lambda x: (x * 2.0, x + 1.0))  # tuple output: barrier
+        sec = timed_median(f, jnp.ones((8, 8)), calls=2, reps=3)
+        assert sec > 0.0
+
+    def test_setup_cache_tiny_forces_cpu_and_test_cache(self):
+        # conftest already forces CPU; setup_cache(tiny=True) must agree
+        # with the test suite's cache dir so smoke runs share compiles
+        from benchmarks.common import setup_cache
+
+        cache = setup_cache(tiny=True, min_compile_secs=0.3)
+        assert cache.endswith("tests/.jax_cache")
+        assert jax.config.jax_platforms == "cpu"
