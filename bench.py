@@ -35,7 +35,14 @@ regressions are visible in BENCH_r{N}.json (VERDICT r2 weak #2):
 
 Env knobs: BENCH_SIZE (1024), BENCH_BATCH (8), BENCH_STEPS (100),
 BENCH_CALLS (3), BENCH_TINY=1 (CPU smoke), BENCH_SUBMETRICS=0 (headline
-only), BENCH_EXPERIMENT=0 (skip the full-experiment wall).
+only), BENCH_EXPERIMENT=0 (skip the full-experiment wall),
+BENCH_SKIP_PROBE=1 (trust the backend, skip the subprocess TPU probe),
+BENCH_PROBE_TIMEOUT (300 s).
+
+Failure contract (VERDICT r4 #1a): if the TPU backend is unreachable the
+run degrades to a clearly-marked CPU-tiny pass (``tpu_unavailable: true``
+in the JSON), and ANY unhandled exception still emits a parsable JSON
+line — the process always exits 0 with one JSON line on stdout.
 """
 
 from __future__ import annotations
@@ -48,6 +55,34 @@ import time
 
 def log(msg: str) -> None:
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
+def tpu_alive(timeout_s: int = 300) -> bool:
+    """Probe the TPU backend in a SUBPROCESS before the main process touches
+    jax.  Tunnel failures HANG rather than error (the r4 outage: backend init
+    blocked for hours), and a hung backend in THIS process can't be recovered
+    — so the probe must be external and timeout-bounded.  Returns True only
+    if a non-CPU backend round-trips a real computation within the budget."""
+    import subprocess
+
+    code = (
+        "import jax, jax.numpy as jnp\n"
+        "assert jax.default_backend() != 'cpu', 'no accelerator'\n"
+        "print(float((jnp.ones((8, 8)) @ jnp.ones((8, 8))).sum()))\n"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code],
+            timeout=timeout_s, capture_output=True, text=True,
+        )
+    except subprocess.TimeoutExpired:
+        log(f"TPU probe timed out after {timeout_s}s (tunnel hang)")
+        return False
+    if r.returncode != 0:
+        tail = (r.stderr or "").strip().splitlines()[-1:] or ["<no stderr>"]
+        log(f"TPU probe failed rc={r.returncode}: {tail[0]}")
+        return False
+    return True
 
 
 def grating_batch(rng, n, size, rmax=0.9, contrast_lo=0.08, contrast_hi=0.35,
@@ -139,6 +174,16 @@ def train_synthetic_classifier(clf, clf_vars, clf_size, seed=7, steps=200):
 
 def main() -> int:
     tiny = os.environ.get("BENCH_TINY", "0") == "1"
+    tpu_unavailable = False
+    if not tiny and os.environ.get("BENCH_SKIP_PROBE", "0") != "1":
+        # Backend-failure guard (VERDICT r4 #1a): if the tunnel is down the
+        # round must still produce a parsable artifact, not a traceback —
+        # degrade to a clearly-marked CPU-tiny run.
+        if not tpu_alive(int(os.environ.get("BENCH_PROBE_TIMEOUT", "300"))):
+            log("TPU unavailable — degrading to CPU-tiny run "
+                "(tpu_unavailable=true in the JSON)")
+            tiny = True
+            tpu_unavailable = True
     size = int(os.environ.get("BENCH_SIZE", "32" if tiny else "1024"))
     batch = int(os.environ.get("BENCH_BATCH", "2" if tiny else "8"))
     steps = int(os.environ.get("BENCH_STEPS", "5" if tiny else "100"))
@@ -279,13 +324,17 @@ def main() -> int:
     if os.environ.get("BENCH_EXPERIMENT", "1") == "1":
         run_experiment_wall(pipeline, imgs, size, submetrics)
 
-    print(json.dumps({
+    result = {
         "metric": f"PGD attack steps/sec, batch-{batch}, {size}^2 fusion inputs",
         "value": round(steps_per_sec, 3),
         "unit": "steps/sec",
         "vs_baseline": round(steps_per_sec / 100.0, 3),
         "submetrics": submetrics,
-    }))
+    }
+    if tpu_unavailable:
+        result["tpu_unavailable"] = True
+        result["metric"] += " (CPU-TINY FALLBACK — TPU tunnel down)"
+    print(json.dumps(result))
     return 0
 
 
@@ -493,4 +542,20 @@ def run_experiment_wall(pipeline, imgs, size, out: dict) -> None:
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    try:
+        sys.exit(main())
+    except Exception as exc:  # noqa: BLE001 — driver contract: always JSON
+        # Last-resort guard (VERDICT r4 weak #1): a perf harness that emits
+        # NO artifact forfeits the round's evidence.  Emit a parsable JSON
+        # line naming the failure and exit 0 so BENCH_r{N}.json records it.
+        import traceback
+
+        traceback.print_exc()
+        print(json.dumps({
+            "metric": "bench crashed before producing a headline",
+            "value": 0.0,
+            "unit": "steps/sec",
+            "vs_baseline": 0.0,
+            "error": repr(exc),
+        }))
+        sys.exit(0)
