@@ -405,15 +405,19 @@ class TestLegacyOptimize:
 
     def test_optimize_descends_and_snapshots(self, pipeline):
         (adv, trace, snaps), img = self._run(pipeline, "optimize")
+        # reference rows (`attack_main2.py:689,714`): original + frames at
+        # loop indices 2 and 4 (after 3 and 5 steps) — never the final iter
         assert snaps.shape == (3, 1, 32, 32, 3)
         assert trace["total"].shape == (6,)
         assert bool(jnp.isfinite(trace["total"]).all())
         assert float(trace["total"][-1]) < float(trace["total"][0])
         assert set(trace) == {"img_org", "lpips_rec", "latent", "img_rec",
                               "total"}
-        # snapshot k is the state after (k+1)*every steps; last == adv
-        np.testing.assert_allclose(np.asarray(snaps[-1]), np.asarray(adv),
+        # row 0 is the untouched original (img_all = img_org)
+        np.testing.assert_allclose(np.asarray(snaps[0]), np.asarray(img),
                                    atol=1e-6)
+        # the final iteration never snapshots: last frame != final adv
+        assert float(jnp.max(jnp.abs(snaps[-1] - adv))) > 0.0
         assert float(jnp.max(jnp.abs(adv - img))) > 0.0
 
     def test_optimize_copy_variant(self, pipeline):
@@ -424,7 +428,8 @@ class TestLegacyOptimize:
     def test_remainder_iters(self, pipeline):
         (adv, trace, snaps), _ = self._run(pipeline, "optimize", n_iters=5,
                                            every=2)
-        assert snaps.shape[0] == 2 and trace["total"].shape == (5,)
+        # original + frames at loop indices 2, 4 = 3 rows
+        assert snaps.shape[0] == 3 and trace["total"].shape == (5,)
 
     def test_bad_variant_raises(self, pipeline):
         import pytest as _pytest

@@ -101,6 +101,20 @@ class TestLandmarkNet:
                                   input_size=SIZE)
         assert landmark_net_input_size(sized) == SIZE
 
+    def test_input_size_resolves_packaged_stem_sidecar(self):
+        """Passing the packaged npz path directly (the --landmark_net
+        override the CLI documents) must find the ``landmark_net.json``
+        stem sidecar, not silently fall back to the default size
+        (ADVICE r4 #1)."""
+        import os
+
+        from tpufusion.models import landmarks as lm
+        from tpufusion.models.landmarks import landmark_net_input_size
+
+        packaged = os.path.join(os.path.dirname(os.path.abspath(lm.__file__)),
+                                "weights", "landmark_net.npz")
+        assert landmark_net_input_size(packaged) == 96
+
 
 class TestPackagedNet:
     """The weights shipped in models/weights/ (C18 works out of the box —

@@ -175,6 +175,20 @@ class TestRunExperiment:
         assert len(rows[0]["ssim_spatial"]) == n + 1
         assert all(0.0 <= v <= 1.0 for v in rows[0]["ssim_spatial"])
 
+    def test_fgsm_records_real_semantics(self, pipeline, batch, tmp_path):
+        """'fgsm' dispatches as R+FGSM (PRNG-dependent); the run parameters
+        must record that so downstream comparisons aren't mislabeled as
+        standard FGSM (ADVICE r4 #3)."""
+        import json
+
+        inputs, target = batch
+        cfg = AttackRunConfig(dataset_name="church", attacks=("fgsm",))
+        run_experiment(pipeline, cfg, inputs, target, jax.random.key(22),
+                       save_root=str(tmp_path))
+        run_dir = tmp_path / [d for d in os.listdir(tmp_path) if "fgsm" in d][0]
+        params = json.loads((run_dir / "parameters.json").read_text())
+        assert params["attack semantics"] == "r+fgsm (random_start, steps=1)"
+
     def test_hybrid_splice(self, pipeline, batch):
         inputs, target = batch
         cfg = AttackRunConfig(
@@ -672,9 +686,11 @@ class TestMidRunObservability:
                               if "white_box" in d][0]
         names = set(os.listdir(run_dir))
         assert "adv_input_white_box_target_2.png" in names
-        assert "adv_input_white_box_target_4.png" in names
         assert "rec_white_box_target_2.png" in names
-        assert "rec_white_box_target_4.png" in names
+        # reference cadence (`attack_main2.py:657`): the final iteration
+        # never snapshots — with n_iters=4 every=2 only the iter-2 frame
+        assert "adv_input_white_box_target_4.png" not in names
+        assert "rec_white_box_target_4.png" not in names
 
     def test_store_flushes_mid_experiment(self, pipeline, batch, tmp_path,
                                           monkeypatch):
@@ -744,4 +760,5 @@ class TestWhiteboxExecutionResolution:
                               if "white_box" in d][0]
         names = set(os.listdir(run_dir))
         assert "adv_input_white_box_target_2.png" in names
-        assert "rec_white_box_target_4.png" in names
+        assert "rec_white_box_target_2.png" in names
+        assert "rec_white_box_target_4.png" not in names  # final iter: no frame

@@ -204,7 +204,15 @@ def make_whitebox_attack(pipeline: FusionPipeline, config: WhiteboxConfig):
             (adv, _), trace = jax.lax.scan(step, carry, None, length=n_iters)
             return adv, trace
 
-        n_snap, rem = divmod(n_iters, every)
+        # reference cadence (`attack_main2.py:657`): the save check runs
+        # AFTER optimizer.step() at loop index `iters`, firing when
+        # iters % every == 0 and iters // every > 0 — i.e. frame k lands
+        # after k*every + 1 steps and the FINAL iteration never snapshots.
+        # Structure: 1 lead step, then (n_iters-1)//every snapshot chunks,
+        # then the remainder.
+        n_snap = max((n_iters - 1) // every, 0)
+        lead = min(1, n_iters)
+        rem = n_iters - lead - n_snap * every
 
         def chunk(c, _):
             c, traces = jax.lax.scan(step, c, None, length=every)
@@ -212,9 +220,11 @@ def make_whitebox_attack(pipeline: FusionPipeline, config: WhiteboxConfig):
             rec = dec(params["gen"], enc(params["enc"], avg_pool(x, factor)))
             return c, (traces, dict(adv_input=x, rec=rec))
 
+        carry, head = jax.lax.scan(step, carry, None, length=lead)
         carry, (trace, snaps) = jax.lax.scan(chunk, carry, None, length=n_snap)
         trace = jax.tree.map(
             lambda t: t.reshape((n_snap * every,) + t.shape[2:]), trace)
+        trace = jax.tree.map(lambda a, b: jnp.concatenate([a, b]), head, trace)
         if rem:
             carry, tail = jax.lax.scan(step, carry, None, length=rem)
             trace = jax.tree.map(
@@ -351,7 +361,9 @@ def vmap_whitebox_stepwise(pipeline: FusionPipeline, config: WhiteboxConfig):
         for it in range(config.n_iters):
             state, terms = vstep(params, state)
             traces.append(terms)
-            if every and (it + 1) % every == 0:
+            # reference cadence (`attack_main2.py:657`): post-step check at
+            # loop index `it`, skipping the k=0 frame and the final iter
+            if every and it % every == 0 and it // every > 0:
                 x = state["x"][:, 0]
                 # fetch each frame to HOST as it is produced (the reference
                 # streams save_img PNGs, `attack_main2.py:657-661`): device
@@ -363,6 +375,10 @@ def vmap_whitebox_stepwise(pipeline: FusionPipeline, config: WhiteboxConfig):
                     rec=np.asarray(rec_of(params, x), np.float32)))
         trace = jax.tree.map(lambda *xs: jnp.stack(xs, axis=1), *traces)
         if every:
+            if not snaps:  # n_iters <= every: the reference emits no frames
+                empty = np.zeros((0,) + imgs.shape, np.float32)
+                return (state["x"][:, 0], trace,
+                        dict(adv_input=empty, rec=empty))
             return (state["x"][:, 0], trace,
                     jax.tree.map(lambda *xs: np.stack(xs), *snaps))
         return state["x"][:, 0], trace
@@ -400,11 +416,14 @@ def make_legacy_optimize(pipeline: FusionPipeline, lpips_model, lpips_vars,
     reconstruction against the target's own reconstruction ``target_rec``.
 
     Returns ``attack(img, target_img) -> (adv, trace, snapshots)`` where
-    ``snapshots`` is (n_iters // snapshot_every, *img.shape) — zero-length
-    leading axis when ``snapshot_every`` is 0/None — the frames
-    the reference concatenates into ``optimize.png`` (`:719-720`).  The
-    whole loop runs as nested ``lax.scan``s (outer = snapshot cadence), so
-    snapshots come out of ONE compiled program instead of 20 host syncs.
+    ``snapshots`` matches the reference's ``optimize.png`` rows exactly
+    (`:689,714-718`): the ORIGINAL image first, then one frame per loop
+    index ``k*snapshot_every`` for k >= 1 (the post-step save check, so
+    frame k lands after k*every + 1 steps and the final iter never
+    snapshots) — leading axis ``1 + (n_iters-1)//snapshot_every``;
+    zero-length when ``snapshot_every`` is 0/None.  The whole loop runs as
+    nested ``lax.scan``s (outer = snapshot cadence), so snapshots come out
+    of ONE compiled program instead of 20 host syncs.
     """
     if config.variant not in ("optimize", "optimize_copy"):
         raise ValueError(f"unknown legacy variant {config.variant!r}")
@@ -414,10 +433,17 @@ def make_legacy_optimize(pipeline: FusionPipeline, lpips_model, lpips_vars,
     opt = optax.adam(config.lr)
     copy_variant = config.variant == "optimize_copy"
     # snapshot_every=0/None disables snapshots (mirrors WhiteboxConfig):
-    # one chunk of all iters, zero-length snapshot axis
+    # one chunk of all iters, zero-length snapshot axis.  With snapshots
+    # on, the reference cadence (`attack_main2.py:714`) is a post-step
+    # check at loop index k*every: 1 lead step, (n_iters-1)//every chunks,
+    # remainder — frame k after k*every + 1 steps, never the final iter.
     every = int(config.snapshot_every or 0)
-    n_snap, rem = divmod(config.n_iters, every) if every else (0,
-                                                               config.n_iters)
+    if every:
+        n_snap = max((config.n_iters - 1) // every, 0)
+        lead = min(1, config.n_iters)
+        rem = config.n_iters - lead - n_snap * every
+    else:
+        n_snap, lead, rem = 0, 0, config.n_iters
 
     def loss_fn(params, x, ref):
         r_x = avg_pool(x, factor)
@@ -463,14 +489,21 @@ def make_legacy_optimize(pipeline: FusionPipeline, lpips_model, lpips_vars,
             return carry, (carry[0], traces)
 
         carry = (img, opt.init(img))
+        carry, head = jax.lax.scan(step, carry, None, length=lead)
         carry, (snaps, traces) = jax.lax.scan(
             chunk, carry, None, length=n_snap)
         traces = jax.tree.map(
             lambda t: t.reshape((n_snap * every,) + t.shape[2:]), traces)
+        traces = jax.tree.map(
+            lambda a, b: jnp.concatenate([a, b]), head, traces)
         if rem:
             carry, tail = jax.lax.scan(step, carry, None, length=rem)
             traces = jax.tree.map(
                 lambda a, b: jnp.concatenate([a, b]), traces, tail)
+        if every:
+            # reference `optimize` seeds the montage with the ORIGINAL
+            # image (`attack_main2.py:689`) before appending frames
+            snaps = jnp.concatenate([img[None], snaps])
         return carry[0], traces, snaps
 
     params = dict(_model_params(pipeline), lpips=lpips_vars)

@@ -368,14 +368,19 @@ def save_landmark_net(variables, path: str,
 
 
 def landmark_net_input_size(path: str) -> Optional[int]:
-    """Training input size recorded in the ``<path>.json`` sidecar written
-    by :func:`save_landmark_net`, or ``None`` for sidecar-less files."""
+    """Training input size recorded in the sidecar next to ``path``, or
+    ``None`` for sidecar-less files.  Probes ``<path>.json`` (written by
+    :func:`save_landmark_net`) and then ``<stem>.json`` (the packaged
+    ``landmark_net.json`` schema) — both carry ``input_size``, so passing
+    ``--landmark_net .../weights/landmark_net.npz`` resolves the trained
+    size instead of silently driving a 96-trained net at the default 128."""
     import json
     import os
 
-    if os.path.exists(path + ".json"):
-        with open(path + ".json") as f:
-            return int(json.load(f)["input_size"])
+    for candidate in (path + ".json", os.path.splitext(path)[0] + ".json"):
+        if os.path.exists(candidate):
+            with open(candidate) as f:
+                return int(json.load(f)["input_size"])
     return None
 
 

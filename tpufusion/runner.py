@@ -509,14 +509,21 @@ def run_experiment(
             run_dir = new_adv_dir(save_root, cfg.run_postfix(attack, pipeline.image_size))
             benign_dir = new_run_folder(os.path.join(run_dir, "benign"))
             adv_dir = new_run_folder(os.path.join(run_dir, "adversarial"))
-            write_parameters(run_dir, {
+            run_params = {
                 "adversarial attack": attack, "dataset": cfg.dataset_name,
                 "dataset size": pipeline.image_size, "epochs": cfg.epochs,
                 "max_count": cfg.max_count, "patch_size": cfg.patch_size,
                 "train_size": cfg.train_size, "patch_type": cfg.patch_type,
                 "white-box max_iter": cfg.iters_for(pipeline.image_size),
                 "white-box lr": cfg.lr, "use_generate_img": cfg.use_generate_img,
-            })
+            }
+            if attack == "fgsm":
+                # 'fgsm' dispatches as R+FGSM (see dispatch_attack: plain
+                # FGSM is gradient-degenerate on the drift objective), so
+                # results are PRNG-dependent — record the real semantics so
+                # downstream comparisons aren't mislabeled as standard FGSM.
+                run_params["attack semantics"] = "r+fgsm (random_start, steps=1)"
+            write_parameters(run_dir, run_params)
             save_montage(inputs, os.path.join(benign_dir, "spatial_org_inputs_0.jpg"), nrow=n)
             save_image(b_sp, os.path.join(benign_dir, "spatial_org_fusion_0.jpg"))
             save_montage(singles_sp, os.path.join(benign_dir, "spatial_org_without_fusion_0.jpg"), nrow=n)
