@@ -1,6 +1,8 @@
 """Attack layer tests — PGD/FGSM (C13), CW, white-box (C9), patch (C10/C11),
 baselines (C12), hybrid splicer."""
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -481,6 +483,59 @@ class TestWhiteboxSnapshots:
                                    np.asarray(b[2]["adv_input"]), atol=1e-5)
         np.testing.assert_allclose(np.asarray(a[2]["rec"]),
                                    np.asarray(b[2]["rec"]), atol=1e-4)
+
+    def test_grad_accum_matches_unchunked(self, pipeline):
+        """VERDICT r4 #8: per-image Adam trajectories are independent, so
+        the microbatched stepwise run (grad_accum=2) must equal the
+        unchunked one — adversarial outputs, traces AND snapshots.
+        Tolerance is float32-epsilon-level, not bitwise: the chunked step
+        compiles at batch 2 vs 4, and XLA's fusion/reduction order inside
+        each image's convs differs between the two programs."""
+        from tpufusion.attacks.whitebox import WhiteboxConfig, run_whitebox
+
+        inputs = jnp.asarray(
+            np.random.RandomState(6).rand(4, 32, 32, 3) * 2 - 1, jnp.float32)
+        target = inputs[:1] * 0.5
+        base = WhiteboxConfig(n_iters=5, snapshot_every=2,
+                              execution="stepwise")
+        a = run_whitebox(pipeline, inputs, target, base)
+        b = run_whitebox(pipeline, inputs, target,
+                         dataclasses.replace(base, grad_accum=2))
+        np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]),
+                                   atol=5e-5)
+        np.testing.assert_allclose(np.asarray(a[1]["total"]),
+                                   np.asarray(b[1]["total"]), rtol=2e-5)
+        np.testing.assert_allclose(np.asarray(a[2]["adv_input"]),
+                                   np.asarray(b[2]["adv_input"]), atol=5e-5)
+        np.testing.assert_allclose(np.asarray(a[2]["rec"]),
+                                   np.asarray(b[2]["rec"]), atol=5e-4)
+
+    def test_grad_accum_requires_stepwise(self, pipeline):
+        from tpufusion.attacks.whitebox import (
+            WhiteboxConfig, make_whitebox_attack,
+        )
+
+        with pytest.raises(ValueError, match="stepwise"):
+            make_whitebox_attack(pipeline, WhiteboxConfig(grad_accum=2))
+
+    def test_grad_accum_pads_odd_batch_by_wrap(self, pipeline):
+        """Chunk-size padding follows the parallel/sharding.py convention:
+        an odd batch is wrapped up to a chunk multiple and the redundant
+        rows sliced off — results still equal the unchunked run."""
+        from tpufusion.attacks.whitebox import WhiteboxConfig, run_whitebox
+
+        inputs = jnp.asarray(
+            np.random.RandomState(7).rand(3, 32, 32, 3) * 2 - 1, jnp.float32)
+        base = WhiteboxConfig(n_iters=3, execution="stepwise")
+        a = run_whitebox(pipeline, inputs, inputs[:1] * 0.5, base)
+        b = run_whitebox(pipeline, inputs, inputs[:1] * 0.5,
+                         dataclasses.replace(base, grad_accum=2))
+        assert b[0].shape == inputs.shape
+        assert b[1]["total"].shape[0] == 3
+        np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]),
+                                   atol=5e-5)
+        np.testing.assert_allclose(np.asarray(a[1]["total"]),
+                                   np.asarray(b[1]["total"]), rtol=2e-5)
 
     def test_no_snapshot_config_keeps_two_tuple(self, pipeline):
         from tpufusion.attacks.whitebox import WhiteboxConfig, run_whitebox

@@ -91,6 +91,15 @@ class WhiteboxConfig:
     # compiled program, no host syncs); ``rec`` costs one extra enc+dec
     # forward per snapshot.
     snapshot_every: int | None = None
+    # Microbatching (VERDICT r4 #8): split the batch into ``grad_accum``
+    # sequential chunks per iteration so effective batches beyond the
+    # single-chip activation ceiling (batch-8 @1024²; batch-16 OOMs at
+    # 18.1 vs 15.75 GB) still run on one chip.  Per-image Adam
+    # trajectories are independent, so chunked == unchunked bitwise; only
+    # one chunk's fwd/bwd activations are live at a time while the full
+    # batch's state (pixels + moments) stays resident.  Stepwise execution
+    # only — each chunk reuses ONE compiled step program.
+    grad_accum: int = 1
 
 
 def default_n_iters(image_size: int) -> int:
@@ -176,6 +185,11 @@ def make_whitebox_attack(pipeline: FusionPipeline, config: WhiteboxConfig):
     means average the loss terms over the batch; use ``vmap_whitebox`` for
     strictly per-image trajectories).  ``trace`` is a dict of per-iter loss
     terms."""
+    if config.grad_accum > 1:
+        raise ValueError(
+            "grad_accum > 1 requires execution='stepwise': the scan executor "
+            "compiles the whole batch's fwd/bwd into one program, so there "
+            "is no sequential chunk boundary to bound activation memory")
     loss_fn = _make_loss(pipeline, config.weights)
     ref_fn = _make_ref(pipeline)
     opt = optax.adam(config.lr)
@@ -284,6 +298,12 @@ def run_whitebox_stepwise(pipeline: FusionPipeline, img, target_img,
                           config: WhiteboxConfig):
     """Host-looped white-box attack (same semantics as
     ``make_whitebox_attack``; smaller compiled unit)."""
+    if config.grad_accum > 1:
+        raise ValueError(
+            "grad_accum > 1 is only supported by the vmapped stepwise "
+            "executor (vmap_whitebox_stepwise): this naturally-batched path "
+            "averages the loss over the batch, so chunking would change the "
+            "gradient scale")
     init, step = make_whitebox_stepper(pipeline, config)
     state = init(img, target_img)
     traces = []
@@ -356,32 +376,54 @@ def vmap_whitebox_stepwise(pipeline: FusionPipeline, config: WhiteboxConfig):
     def attack(imgs, targets):
         if targets.shape[0] == 1:
             targets = jnp.broadcast_to(targets, imgs.shape)
-        state = vinit(params, imgs, targets)
+        accum = max(int(config.grad_accum or 1), 1)
+        b = imgs.shape[0]
+        # pad-by-wrap to a chunk multiple (same convention as
+        # parallel/sharding.py): per-image trajectories are independent, so
+        # the wrapped rows are redundant compute that is sliced off below
+        cb = -(-b // accum)
+        if cb * accum != b:
+            wrap = jnp.arange(cb * accum) % b
+            imgs, targets = imgs[wrap], targets[wrap]
+        cuts = [slice(i * cb, (i + 1) * cb) for i in range(accum)]
+        # per-chunk states: the full batch's pixels + Adam moments stay
+        # resident, but only ONE chunk's fwd/bwd activations are live at a
+        # time — and every chunk reuses the same compiled step program
+        states = [vinit(params, imgs[s], targets[s]) for s in cuts]
         traces, snaps = [], []
         for it in range(config.n_iters):
-            state, terms = vstep(params, state)
-            traces.append(terms)
+            step_terms = []
+            for ci in range(accum):
+                states[ci], terms = vstep(params, states[ci])
+                step_terms.append(terms)
+            traces.append(step_terms[0] if accum == 1 else jax.tree.map(
+                lambda *xs: jnp.concatenate(xs), *step_terms))
             # reference cadence (`attack_main2.py:657`): post-step check at
             # loop index `it`, skipping the k=0 frame and the final iter
             if every and it % every == 0 and it // every > 0:
-                x = state["x"][:, 0]
                 # fetch each frame to HOST as it is produced (the reference
                 # streams save_img PNGs, `attack_main2.py:657-661`): device
                 # memory stays bounded by the live state, not by
                 # n_snap × batch × image — at 1024² batch-8 every-5/100-iter
-                # that is ~3.8 GB of f32 frames the scan path must carry
+                # that is ~3.8 GB of f32 frames the scan path must carry.
+                # rec runs per chunk so the snapshot synthesis never exceeds
+                # the chunk activation footprint either.
                 snaps.append(dict(
-                    adv_input=np.asarray(x, np.float32),
-                    rec=np.asarray(rec_of(params, x), np.float32)))
-        trace = jax.tree.map(lambda *xs: jnp.stack(xs, axis=1), *traces)
+                    adv_input=np.concatenate([
+                        np.asarray(st["x"][:, 0], np.float32)
+                        for st in states])[:b],
+                    rec=np.concatenate([
+                        np.asarray(rec_of(params, st["x"][:, 0]), np.float32)
+                        for st in states])[:b]))
+        trace = jax.tree.map(
+            lambda *xs: jnp.stack(xs, axis=1)[:b], *traces)
+        adv = jnp.concatenate([st["x"][:, 0] for st in states])[:b]
         if every:
             if not snaps:  # n_iters <= every: the reference emits no frames
-                empty = np.zeros((0,) + imgs.shape, np.float32)
-                return (state["x"][:, 0], trace,
-                        dict(adv_input=empty, rec=empty))
-            return (state["x"][:, 0], trace,
-                    jax.tree.map(lambda *xs: np.stack(xs), *snaps))
-        return state["x"][:, 0], trace
+                empty = np.zeros((0, b) + imgs.shape[1:], np.float32)
+                return adv, trace, dict(adv_input=empty, rec=empty)
+            return adv, trace, jax.tree.map(lambda *xs: np.stack(xs), *snaps)
+        return adv, trace
 
     return attack
 

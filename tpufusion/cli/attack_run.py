@@ -55,6 +55,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "are active (streamed frames, bounded device memory) "
                         "else scan; explicit scan/stepwise is always "
                         "honoured (scan + snapshots stacks frames on device)")
+    p.add_argument("--whitebox_grad_accum", type=int, default=1,
+                   help="sequential microbatch chunks per white-box "
+                        "iteration: >1 bounds activation memory to "
+                        "batch/accum per step so effective batches beyond "
+                        "the single-chip ceiling run without OOM "
+                        "(stepwise executor)")
     p.add_argument("--whitebox_preset", default="attack_main",
                    choices=["attack_main", "interpolation"],
                    help="white-box loss preset: attack_main2.py:649 or "
@@ -201,6 +207,7 @@ def main(argv=None) -> int:
             ("patch_npz", "patch_npz"), ("max_num_fusion", "max_num_fusion"),
             ("which_adv", "which_adv"), ("seed", "seed"),
             ("whitebox_preset", "whitebox_preset"),
+            ("whitebox_grad_accum", "whitebox_grad_accum"),
             ("snapshot_every", "snapshot_every"),
             ("flush_every", "flush_every"),
         ]:
@@ -268,6 +275,7 @@ def main(argv=None) -> int:
         whitebox_execution=("stepwise" if args.whitebox_stepwise
                             else args.whitebox_execution),
         whitebox_preset=args.whitebox_preset,
+        whitebox_grad_accum=args.whitebox_grad_accum,
         epochs=args.epochs, regenerate=args.patch_npz is None,
         patch_npz=args.patch_npz,
         patch_type=args.patch_type, patch_size=args.patch_size,

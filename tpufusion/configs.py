@@ -83,6 +83,11 @@ class AttackRunConfig:
     # loss preset: 'attack_main' (`attack_main2.py:649`) or 'interpolation'
     # (`interpolation.py:818`) — the two reference drivers differ here
     whitebox_preset: str = "attack_main"
+    # sequential microbatch chunks per whitebox iteration (VERDICT r4 #8):
+    # >1 bounds activation memory to batch/grad_accum per step so effective
+    # batches beyond the single-chip ceiling run without OOM; requires the
+    # stepwise executor (per-image trajectories are chunk-invariant)
+    whitebox_grad_accum: int = 1
 
     # patch (`--epochs/--max_count/--patch_type/--patch_size`)
     epochs: int = 1

@@ -270,14 +270,24 @@ def dispatch_attack(
         snap_every = (cfg.snapshot_every
                       if run_dir and cfg.snapshot_every and not use_mesh
                       else None)
+        accum = max(int(cfg.whitebox_grad_accum or 1), 1)
+        execution = resolve_whitebox_execution(
+            cfg.whitebox_execution, bool(snap_every))
+        if accum > 1 and execution != "stepwise":
+            if cfg.whitebox_execution == "auto":
+                execution = "stepwise"  # microbatching needs the chunk loop
+            else:
+                raise ValueError(
+                    "whitebox_grad_accum > 1 requires "
+                    "whitebox_execution='stepwise' (or 'auto')")
         wcfg = WhiteboxConfig(
             lr=cfg.lr, n_iters=cfg.iters_for(size),
             weights=(PRESET_INTERPOLATION
                      if cfg.whitebox_preset == "interpolation"
                      else PRESET_ATTACK_MAIN),
-            execution=resolve_whitebox_execution(
-                cfg.whitebox_execution, bool(snap_every)),
+            execution=execution,
             snapshot_every=snap_every,
+            grad_accum=accum,
         )
         if attack == "white_box_patch":
             # per-image paste target (`attack_main2.py:339-351`)
@@ -285,6 +295,11 @@ def dispatch_attack(
         else:
             target = target_img
         if use_mesh:
+            if accum > 1:
+                raise ValueError(
+                    "whitebox_grad_accum > 1 is a single-chip activation "
+                    "lever; with --mesh the DP sharding already splits the "
+                    "batch across devices — drop one of the two")
             from tpufusion.parallel import run_whitebox_sharded
 
             adv, tr = run_whitebox_sharded(pipeline, inputs, target, wcfg,
@@ -517,6 +532,12 @@ def run_experiment(
                 "white-box max_iter": cfg.iters_for(pipeline.image_size),
                 "white-box lr": cfg.lr, "use_generate_img": cfg.use_generate_img,
             }
+            if cfg.whitebox_grad_accum > 1 and attack in (
+                    "white_box_target", "white_box_patch"):
+                # execution detail (results equal the unchunked run), but
+                # worth recording: the run's activation footprint was
+                # batch/accum per step
+                run_params["whitebox grad_accum"] = cfg.whitebox_grad_accum
             if attack == "fgsm":
                 # 'fgsm' dispatches as R+FGSM (see dispatch_attack: plain
                 # FGSM is gradient-degenerate on the drift objective), so
