@@ -25,4 +25,7 @@ run patch_bf16   MP_PROGRAM=patch MP_BF16_PARAMS=1 python benchmarks/mfu_program
 # width-packed Pallas tail convs as an end-to-end lever (DESIGN 9b)
 run wb_wp     TPUFUSION_WP_TAIL=1 python benchmarks/mfu_whitebox.py
 run fusion_wp TPUFUSION_WP_TAIL=1 MP_PROGRAM=fusion_pgd python benchmarks/mfu_programs.py
+# fused Pallas Adam pixel update as an end-to-end lever (DESIGN 9, r5)
+run wb_fa     TPUFUSION_FUSED_ADAM=1 python benchmarks/mfu_whitebox.py
+run wb_wp_fa  TPUFUSION_WP_TAIL=1 TPUFUSION_FUSED_ADAM=1 python benchmarks/mfu_whitebox.py
 echo "all artifacts in $OUT"

@@ -223,6 +223,71 @@ class TestPGDUpdate:
         assert float(jnp.max(jnp.abs(adv - img))) <= 0.05 + 1e-6
 
 
+class TestFusedAdam:
+    def _optax_run(self, x, grads, lr):
+        import optax
+
+        opt = optax.adam(lr)
+        st = opt.init(x)
+        for g in grads:
+            updates, st = opt.update(g, st)
+            x = optax.apply_updates(x, updates)
+        return x
+
+    def test_matches_optax_trajectory(self):
+        """The XLA fallback must reproduce optax.adam exactly over many
+        steps (bias correction drifts if count handling is off by one)."""
+        from tpufusion.ops import adam_init, fused_adam
+
+        x = jax.random.uniform(jax.random.key(0), (2, 16, 16, 3),
+                               minval=-1, maxval=1)
+        grads = [jax.random.normal(jax.random.key(i), x.shape)
+                 for i in range(7)]
+        want = self._optax_run(x, grads, lr=1e-2)
+        st = adam_init(x)
+        got = x
+        for g in grads:
+            got, st = fused_adam(got, g, st, 1e-2)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-6)
+
+    def test_pallas_kernel_matches_fallback(self):
+        """Interpret-mode pin of the Pallas pass against the jnp math
+        (real-TPU measurement decides the default; DESIGN §9)."""
+        from tpufusion.ops.adam_update import _pallas_adam, _xla_adam
+
+        x = jax.random.uniform(jax.random.key(3), (2, 16, 16, 4),
+                               minval=-1, maxval=1)
+        g = jax.random.normal(jax.random.key(4), x.shape)
+        mu = jax.random.normal(jax.random.key(5), x.shape) * 0.1
+        nu = jnp.abs(jax.random.normal(jax.random.key(6), x.shape)) * 0.01
+        args = (x, g, mu, nu, 1e-2, 0.19, 0.002996)
+        want = _xla_adam(*args)
+        got = _pallas_adam(*args, interpret=True)
+        for a, b in zip(got, want):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6)
+
+    def test_whitebox_gate_preserves_trajectory(self, monkeypatch):
+        """TPUFUSION_FUSED_ADAM=1 routes the white-box steppers through
+        fused_adam; on CPU that is the fallback math — results must equal
+        the optax run bit-for-bit semantics-wise."""
+        from tpufusion.attacks.whitebox import WhiteboxConfig, run_whitebox
+        from tpufusion.pipeline import create_test_pipeline
+
+        pipeline = create_test_pipeline("ffhq", jax.random.key(0), size=32)
+        inputs = jnp.asarray(
+            np.random.RandomState(2).rand(2, 32, 32, 3) * 2 - 1, jnp.float32)
+        cfg = WhiteboxConfig(n_iters=3, execution="stepwise")
+        base = run_whitebox(pipeline, inputs, inputs[:1] * 0.5, cfg)
+        monkeypatch.setenv("TPUFUSION_FUSED_ADAM", "1")
+        fused = run_whitebox(pipeline, inputs, inputs[:1] * 0.5, cfg)
+        np.testing.assert_allclose(np.asarray(base[0]), np.asarray(fused[0]),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(base[1]["total"]),
+                                   np.asarray(fused[1]["total"]), rtol=1e-6)
+
+
 class TestMaskedComposite:
     def test_composite_and_clamp(self):
         img = jnp.full((1, 4, 4, 3), 0.5)

@@ -179,6 +179,28 @@ def _make_ref(pipeline: FusionPipeline):
     return ref_fn
 
 
+def _pixel_opt(lr):
+    """Adam over the adversarial pixel buffer (`attack_main2.py:614`
+    ``optim.Adam([X])``): optax by default; ONE fused Pallas VPU pass
+    (``ops/adam_update.py``) when ``TPUFUSION_FUSED_ADAM=1``.  Trajectories
+    are identical either way (tested vs optax) — the gate only changes how
+    many HBM passes the update costs.  Returns ``(init, apply)`` with
+    ``x, st = apply(g, x, st)``."""
+    from tpufusion.ops.adam_update import (
+        adam_init, fused_adam, use_fused_adam,
+    )
+
+    if use_fused_adam():
+        return adam_init, lambda g, x, st: fused_adam(x, g, st, lr)
+    opt = optax.adam(lr)
+
+    def apply(g, x, st):
+        updates, st = opt.update(g, st)
+        return optax.apply_updates(x, updates), st
+
+    return opt.init, apply
+
+
 def make_whitebox_attack(pipeline: FusionPipeline, config: WhiteboxConfig):
     """Build ``attack(img, target_img) -> (adv_img, trace)``; works on a
     (1, S, S, 3) image or a naturally-batched (B, S, S, 3) batch (batched
@@ -192,7 +214,7 @@ def make_whitebox_attack(pipeline: FusionPipeline, config: WhiteboxConfig):
             "is no sequential chunk boundary to bound activation memory")
     loss_fn = _make_loss(pipeline, config.weights)
     ref_fn = _make_ref(pipeline)
-    opt = optax.adam(config.lr)
+    opt_init, opt_apply = _pixel_opt(config.lr)
     n_iters = config.n_iters
     every = config.snapshot_every
     enc = pipeline.encode_fn()
@@ -208,12 +230,11 @@ def make_whitebox_attack(pipeline: FusionPipeline, config: WhiteboxConfig):
             (loss, terms), g = jax.value_and_grad(loss_fn, argnums=1, has_aux=True)(
                 params, x, ref
             )
-            updates, opt_state = opt.update(g, opt_state)
-            x = optax.apply_updates(x, updates)
+            x, opt_state = opt_apply(g, x, opt_state)
             terms["total"] = loss
             return (x, opt_state), terms
 
-        carry = (img, opt.init(img))
+        carry = (img, opt_init(img))
         if not every:
             (adv, _), trace = jax.lax.scan(step, carry, None, length=n_iters)
             return adv, trace
@@ -265,14 +286,14 @@ def make_whitebox_stepper(pipeline: FusionPipeline, config: WhiteboxConfig):
     """
     loss_fn = _make_loss(pipeline, config.weights)
     ref_fn = _make_ref(pipeline)
-    opt = optax.adam(config.lr)
+    opt_init, opt_apply = _pixel_opt(config.lr)
 
     @jax.jit
     def init_impl(params, img, target_img):
         return dict(
             x=img,
             ref=ref_fn(params, img, target_img),
-            opt_state=opt.init(img),
+            opt_state=opt_init(img),
         )
 
     # donate the state: without it every step copies the 1024^2 pixel buffer
@@ -282,8 +303,7 @@ def make_whitebox_stepper(pipeline: FusionPipeline, config: WhiteboxConfig):
         (loss, terms), g = jax.value_and_grad(loss_fn, argnums=1, has_aux=True)(
             params, state["x"], state["ref"]
         )
-        updates, opt_state = opt.update(g, state["opt_state"])
-        x = optax.apply_updates(state["x"], updates)
+        x, opt_state = opt_apply(g, state["x"], state["opt_state"])
         terms["total"] = loss
         return dict(state, x=x, opt_state=opt_state), terms
 
