@@ -37,3 +37,32 @@ def rng():
     import jax.random as jr
 
     return jr.key(0)
+
+
+def _slow_manifest() -> set:
+    """Measured-slow nodeids (tests/slow_manifest.txt): tests whose call
+    time was >=5 s on the 1-core reference box in a full --durations run.
+    Applied as the `slow` marker so `pytest -m "not slow"` is a <5-min
+    per-commit tier.  Regenerate after big suite changes:
+
+        python -m pytest tests/ -q --durations=0 > /tmp/durations.log
+        python tools/update_slow_manifest.py /tmp/durations.log
+
+    New tests default to the fast tier until re-measured.
+    """
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "slow_manifest.txt")
+    if not os.path.exists(path):
+        return set()
+    with open(path) as f:
+        return {ln.strip() for ln in f
+                if ln.strip() and not ln.startswith("#")}
+
+
+def pytest_collection_modifyitems(config, items):
+    manifest = _slow_manifest()
+    if not manifest:
+        return
+    for item in items:
+        if item.nodeid in manifest:
+            item.add_marker(pytest.mark.slow)
