@@ -71,6 +71,7 @@ def check_generator(size: int, report: list) -> None:
 
 
 def check_fusion(dataset: str, size: int, report: list) -> None:
+    from tpufusion.core.dtypes import Policy
     from tpufusion.fusion.arithmetic import arithmetic_fusion
     from tpufusion.fusion.drawer import FusionDrawer
     from tpufusion.fusion.spatial import spatial_fusion
@@ -79,9 +80,12 @@ def check_fusion(dataset: str, size: int, report: list) -> None:
     with np.load(path) as g:
         w = jnp.asarray(g["w"])
         want = {k: g[k] for k in ("fused_spatial", "fused_arith", "singles")}
+    # fp32 policy: the goldens are CPU fp32; the default TPU policy (bf16
+    # compute) would fold expected mixed-precision rounding into what this
+    # tool is meant to isolate — lowering drift.
     drawer = FusionDrawer.create(
         dataset, jax.random.key(7), size=size, channel_multiplier=1,
-        mean_latent_samples=8)
+        mean_latent_samples=8, policy=Policy())
     fused_sp, singles, _ = spatial_fusion(drawer, w)
     fused_ar, _, _ = arithmetic_fusion(drawer, w)
     tag = f"fusion_{dataset}_{size}"

@@ -71,6 +71,11 @@ def upfirdn2d(
     filt = kernel[::-1, ::-1].astype(x.dtype)
     filt = jnp.tile(filt[:, :, None, None], (1, 1, 1, c))  # HWIO depthwise
 
+    # precision=None defers to ``jax_default_matmul_precision``: unset runs
+    # at the MXU's native bf16-input pass (the perf path); drift checks and
+    # golden minting set `highest` and get an fp32-faithful blur.  A
+    # hardcoded Precision.DEFAULT here silently broke the latter (0.037
+    # max-abs generator drift at 128² under an fp32 policy — r5 finding).
     y = lax.conv_general_dilated(
         x,
         filt,
@@ -78,7 +83,7 @@ def upfirdn2d(
         padding=((pad0, pad1), (pad0, pad1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=c,
-        precision=lax.Precision.DEFAULT,
+        precision=None,
     )
     return y.astype(x.dtype)
 
