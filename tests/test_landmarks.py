@@ -303,3 +303,76 @@ class TestAlignmentEndToEnd:
             "--landmark_net", weights, "--test_size", "8",
         ])
         assert rc == 0
+
+
+class TestFlipTTA:
+    """iBUG-68 mirror permutation + flip test-time augmentation (r5: the
+    symmetry prior that cancels systematic left-right provider bias)."""
+
+    def test_permutation_is_involution(self):
+        from tpufusion.models.landmarks import FLIP_PERM
+
+        perm = np.asarray(FLIP_PERM)
+        assert sorted(perm.tolist()) == list(range(68))
+        np.testing.assert_array_equal(perm[perm], np.arange(68))
+
+    def test_flip_matches_template_geometry(self):
+        # the canonical template is bilaterally symmetric, so mirroring it
+        # and re-indexing must reproduce it — this pins the permutation to
+        # the template's (iBUG) ordering rather than to a table typo
+        from tpufusion.models.landmarks import (_canonical_template,
+                                                flip_landmarks)
+
+        tpl = _canonical_template()
+        np.testing.assert_allclose(flip_landmarks(tpl), tpl, atol=1e-6)
+
+    def test_flip_is_involution_on_points(self):
+        from tpufusion.models.landmarks import flip_landmarks
+
+        pts = np.random.RandomState(0).uniform(0, 1, (68, 2)).astype(
+            np.float32)
+        np.testing.assert_allclose(flip_landmarks(flip_landmarks(pts)), pts,
+                                   atol=1e-6)
+
+    def test_provider_tta_shape_and_sanity(self, trained_net, tmp_path):
+        import PIL.Image
+
+        net, variables, _, _ = trained_net
+        imgs, lms = synth_face_batch(np.random.RandomState(11), 1, 200)
+        arr = ((imgs[0] + 1) * 127.5).astype(np.uint8)
+        path = str(tmp_path / "face.png")
+        PIL.Image.fromarray(arr).save(path)
+        tta = make_landmark_provider(net, variables, net_input_size=SIZE,
+                                     flip_tta=True)(path)
+        plain = make_landmark_provider(net, variables, net_input_size=SIZE,
+                                       flip_tta=False)(path)
+        assert tta.shape == plain.shape == (68, 2)
+        # TTA averages two in-distribution predictions: stays near plain
+        assert float(np.linalg.norm(tta - plain, axis=-1).mean()) < 20.0
+        # and must not be WORSE against ground truth by more than a little
+        gt = lms[0] * 200
+        err_tta = float(np.linalg.norm(tta - gt, axis=-1).mean())
+        err_plain = float(np.linalg.norm(plain - gt, axis=-1).mean())
+        assert err_tta < err_plain * 1.25 + 1.0, (err_tta, err_plain)
+
+
+class TestQuadWeights:
+    def test_weights_normalised_and_targeted(self):
+        from tpufusion.models.landmarks import quad_point_weights
+
+        w = quad_point_weights()
+        assert w.shape == (68,)
+        np.testing.assert_allclose(w.mean(), 1.0, atol=1e-6)
+        assert (w[36:48] > w[0]).all() and w[48] > w[0] and w[54] > w[0]
+        assert w[49] == w[0]  # non-corner mouth points stay baseline
+
+    def test_weighted_training_runs(self):
+        from tpufusion.models.landmarks import quad_point_weights
+
+        imgs, lms = synth_face_batch(np.random.RandomState(2), 64, SIZE)
+        net, variables = create_landmark_net(
+            jax.random.key(0), width=8, image_size=SIZE, policy=FP32)
+        variables, trace = train_landmark_net(
+            net, variables, imgs, lms, steps=40, batch=32,
+            point_weights=quad_point_weights())
+        assert float(trace[-1]) < float(trace[0])

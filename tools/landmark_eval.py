@@ -57,7 +57,8 @@ def slice_panel(path: str, pad: int = 2):
     ]
 
 
-def panel_sanity(net, variables, panels, net_size: int) -> dict:
+def panel_sanity(net, variables, panels, net_size: int,
+                 flip_tta: bool = True) -> dict:
     """Real-face quad plausibility (VERDICT r3 weak #6): for already-aligned
     FFHQ crops, the predicted-landmark alignment quad should be the
     image-corner square; report the mean/max corner deviation."""
@@ -67,7 +68,8 @@ def panel_sanity(net, variables, panels, net_size: int) -> dict:
     from tpufusion.models.landmarks import make_landmark_provider
 
     provider = make_landmark_provider(net, variables,
-                                      net_input_size=net_size)
+                                      net_input_size=net_size,
+                                      flip_tta=flip_tta)
     rows, fracs = [], []
     for path in panels:
         for i, face in enumerate(slice_panel(path)):
@@ -112,6 +114,12 @@ def main(argv=None) -> int:
                    help="aligned-face montages for the real-face sanity "
                         "pass (default: the reference's committed input "
                         "rows; 'none' to skip)")
+    p.add_argument("--quad_weighted", action="store_true",
+                   help="train with quad_point_weights (eyes + mouth "
+                        "corners x3 — the landmarks alignment_quad reads)")
+    p.add_argument("--no_flip_tta", action="store_true",
+                   help="disable flip-TTA in the real-face panel pass "
+                        "(for ablation; providers default to TTA on)")
     p.add_argument("--augment", action="store_true",
                    help="photometric/background augmentation of the "
                         "synthetic training faces (real-photo transfer)")
@@ -197,13 +205,18 @@ def main(argv=None) -> int:
         net, variables = create_landmark_net(
             jax.random.key(0), width=args.width, image_size=args.size)
         t0 = time.time()
+        from tpufusion.models.landmarks import quad_point_weights
+
         variables, trace = train_landmark_net(
-            net, variables, imgs, lms, steps=args.steps, lr=2e-3, batch=64)
+            net, variables, imgs, lms, steps=args.steps, lr=2e-3, batch=64,
+            point_weights=(quad_point_weights() if args.quad_weighted
+                           else None))
         print(f"[landmark_eval] trained {args.steps} steps in "
               f"{time.time() - t0:.1f}s (loss {float(trace[0]):.5f} -> "
               f"{float(trace[-1]):.5f})", file=sys.stderr)
         metrics = {"train_faces": args.train, "train_steps": args.steps,
-                   "augment": args.augment}
+                   "augment": args.augment,
+                   "quad_weighted": args.quad_weighted}
 
     metrics.update(evaluate_landmark_net(net, variables, n=args.eval,
                                          size=args.size))
@@ -225,7 +238,8 @@ def main(argv=None) -> int:
     if panels:
         t0 = time.time()
         metrics["real_faces"] = panel_sanity(net, variables, panels,
-                                             args.size)
+                                             args.size,
+                                             flip_tta=not args.no_flip_tta)
         print(f"[landmark_eval] real-face sanity over {len(panels)} panels "
               f"in {time.time() - t0:.1f}s", file=sys.stderr)
 

