@@ -88,7 +88,7 @@ class TestWidthPackedConv:
         # <dWk, pack(W)> == <unpack(dWk), W> — pack/unpack are adjoints
         c = 32
         wt = jax.random.normal(jax.random.key(3), (3, 3, c, c))
-        dwk = jax.random.normal(jax.random.key(4), (3, 128 + 2 * c, 128))
+        dwk = jax.random.normal(jax.random.key(4), (3, 3, 128, 128))
         lhs = jnp.sum(dwk * pc.pack_weights(wt))
         rhs = jnp.sum(pc.unpack_dw(dwk, c, jnp.float32) * wt)
         assert jnp.allclose(lhs, rhs, rtol=1e-5)

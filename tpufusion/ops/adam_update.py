@@ -76,8 +76,12 @@ def _pallas_adam(x, g, mu, nu, lr, bc1, bc2, *, interpret=False):
     scalars = jnp.stack([jnp.asarray(lr, jnp.float32),
                          jnp.asarray(bc1, jnp.float32),
                          jnp.asarray(bc2, jnp.float32)])
+    # 7 block streams (4 in + 3 out) x double buffering x tile*128*4B must
+    # stay under the 16MB scoped-VMEM stack: tile=4096 allocated 20MB and
+    # failed AOT compile on v5e (measured r5); 1024 -> ~7MB and the kernel
+    # is bandwidth-bound, so the smaller block costs nothing.
     tile = rows
-    for cand in (4096, 2048, 1024, 512, 256, 8):
+    for cand in (1024, 512, 256, 8):
         if rows % cand == 0:
             tile = cand
             break

@@ -13,13 +13,19 @@ These kernels repack **in VMEM** instead, with zero extra HBM traffic:
   The minor dims merge contiguously, so the reshape is a free bitcast — the
   kernel reads and writes the SAME bytes XLA's layout already has.
 - One output "lane tile" holds p adjacent pixels x C channels.  The 3x3
-  conv becomes, per kernel row ky, a contraction over the 128 packed body
-  channels plus the C channels that spill into each neighbouring lane tile
-  (3 dots per ky, K in {C, 128}; FLOP tax (3*(128+2C))/(9*C*p... ) ≈ 2.0x
-  at C=32, 1.33x at C=64 — paid at ~full MXU occupancy instead of C/128).
+  conv becomes, per kernel row ky, THREE full K=128 MXU dots: the body lane
+  tile, plus the previous/next lane tile (whole-tile sublane shifts), each
+  against a host-packed 128x128 weight matrix that zero-pads the C spill
+  channels into place (`pack_weights`).  No lane-dimension slicing happens
+  on device — lane slices produce offset vector layouts Mosaic cannot
+  concatenate (measured r5: `tpu.concatenate ... offset mismatch on
+  non-concat dimension`).  FLOP tax 9*128/(9*C) = 4.0x at C=32, 2.0x at
+  C=64 — paid at ~full MXU occupancy instead of the C/128 lane fill XLA
+  achieves (measured 9.7 TF/s at C=32).
 - Row halos (1 row each side) arrive via two 64KB async DMAs from an ANY-
   space alias of the input; the body streams through the normal pipelined
-  BlockSpec.  Column halos are zero-concats in VMEM (SAME padding).
+  BlockSpec.  Row-edge halos inside a tile are axis-0 concats in VMEM
+  (untiled dim — layout-safe).
 
 Forward, input-grad (same kernel, flipped/transposed weights) and
 weight-grad kernels compose into `conv3x3_wp` (a `jax.custom_vjp`), used by
@@ -75,43 +81,56 @@ def _tile_rows(h: int) -> int:
 
 
 def pack_weights(w: jax.Array) -> jax.Array:
-    """(3, 3, C, C) -> (3, 128 + 2C, 128) width-packed weight stack.
+    """(3, 3, C, C) -> (3, 3, 128, 128) width-packed weight stack.
 
-    Row index r = C*e + ci where e in [0, p+2) indexes the input pixel
-    offset d = e-1 relative to the lane tile's first pixel; column index
-    = px*C + co.  Entry = W[ky, e-px, ci, co] when 0 <= e-px <= 2.
+    Dims: (ky, j, k_in, n_out) with j in {0: previous lane tile, 1: body,
+    2: next lane tile}.  Body entry wk[ky, 1, C*pi+ci, C*px+co] =
+    W[ky, pi-px+1, ci, co] for in-tile pixel pairs |pi-px| <= 1; the prev
+    tile's LAST pixel feeds output pixel 0 with kx=0, the next tile's
+    FIRST pixel feeds output pixel p-1 with kx=2 — zero-padded into full
+    128x128 mats so the kernel never lane-slices on device.
     """
     kh, kw, c, cout = w.shape
     assert (kh, kw) == (3, 3) and c == cout, "width-pack needs 3x3, Cin==Cout"
     p = LANES // c
-    kk = 128 + 2 * c
-    wk = jnp.zeros((3, kk, LANES), w.dtype)
-    for e in range(p + 2):
+    wk = jnp.zeros((3, 3, LANES, LANES), w.dtype)
+    for pi in range(p):
         for px in range(p):
-            kx = e - px
+            kx = pi - px + 1
             if 0 <= kx <= 2:
-                wk = wk.at[:, c * e:c * (e + 1),
-                           px * c:(px + 1) * c].set(w[:, kx])
+                wk = wk.at[:, 1, c * pi:c * (pi + 1),
+                           c * px:c * (px + 1)].set(w[:, kx])
+    wk = wk.at[:, 0, LANES - c:, :c].set(w[:, 0])
+    wk = wk.at[:, 2, :c, LANES - c:].set(w[:, 2])
     return wk
 
 
-def _pack_lanes(xs, *, th, wp, c):
-    """Build the (th*wp, 128+2C) packed operand for one kernel row: the
-    body lane tile plus its left/right lane-tile spills (zero-concat at the
-    tile edges = SAME padding).  THE layout invariant of this file — the
-    forward/input-grad dot and the weight-grad dot must pack identically
-    (pack_weights / unpack_dw index math is its adjoint)."""
-    zc = jnp.zeros((th, 1, c), xs.dtype)
-    left = jnp.concatenate([zc, xs[:, :-1, LANES - c:]], axis=1)
-    right = jnp.concatenate([xs[:, 1:, :c], zc], axis=1)
-    pk = jnp.concatenate([left, xs, right], axis=-1)
-    return pk.reshape(th * wp, LANES + 2 * c)
+def _shifted_cols(xs):
+    """Whole-lane-tile sublane shifts: (prev, next) neighbours of each lane
+    tile, zero at the row edges (SAME padding).  THE layout invariant of
+    this file — forward/input-grad dots and the weight-grad dot must shift
+    identically (pack_weights / unpack_dw index math is the adjoint).
+    Full-128-lane operands only: lane slices would produce offset layouts
+    Mosaic cannot concatenate."""
+    z = jnp.zeros(xs[:, :1, :].shape, xs.dtype)
+    prev = jnp.concatenate([z, xs[:, :-1, :]], axis=1)
+    nxt = jnp.concatenate([xs[:, 1:, :], z], axis=1)
+    return prev, nxt
 
 
-def _row_dot(xs, wk_row, *, th, wp, c, acc):
-    """One kernel-row contribution: packed operand @ (128+2C, 128) row."""
-    return acc + jnp.dot(_pack_lanes(xs, th=th, wp=wp, c=c), wk_row,
-                         preferred_element_type=jnp.float32)
+def _row_dot(xs, wk_ky, *, th, wp, c, acc):
+    """One kernel-row contribution: three K=128 dots (body + both tile
+    spills) against the (3, 128, 128) packed weight row."""
+    del c
+    m = th * wp
+    prev, nxt = _shifted_cols(xs)
+    acc = acc + jnp.dot(xs.reshape(m, LANES), wk_ky[1],
+                        preferred_element_type=jnp.float32)
+    acc = acc + jnp.dot(prev.reshape(m, LANES), wk_ky[0],
+                        preferred_element_type=jnp.float32)
+    acc = acc + jnp.dot(nxt.reshape(m, LANES), wk_ky[2],
+                        preferred_element_type=jnp.float32)
+    return acc
 
 
 def _fwd_kernel(x_ref, x_any, wk_ref, o_ref, halo, sem, *, th, wp, c):
@@ -173,8 +192,8 @@ def _conv3x3_wp_fwd_impl(x: jax.Array, wk: jax.Array) -> jax.Array:
         in_specs=[
             pl.BlockSpec((1, th, wp, LANES), lambda nn, ii: (nn, ii, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((3, LANES + 2 * c, LANES),
-                         lambda nn, ii: (0, 0, 0)),
+            pl.BlockSpec((3, 3, LANES, LANES),
+                         lambda nn, ii: (0, 0, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, th, wp, LANES),
                                lambda nn, ii: (nn, ii, 0, 0)),
@@ -184,7 +203,7 @@ def _conv3x3_wp_fwd_impl(x: jax.Array, wk: jax.Array) -> jax.Array:
             pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * n * h * wp * 3 * (LANES + 2 * c) * LANES,
+            flops=2 * 9 * n * h * wp * LANES * LANES,
             bytes_accessed=2 * (2 * n * h * wp * LANES) + wk.size * 2,
             transcendentals=0,
         ),
@@ -223,11 +242,14 @@ def _dw_kernel(x_ref, g_ref, x_any, dw_ref, halo, sem, *, th, wp, c):
     g2 = g_ref[0].reshape(th * wp, LANES)
 
     def ky_dot(xs, ky):
-        dw_ref[ky] += jax.lax.dot_general(
-            _pack_lanes(xs, th=th, wp=wp, c=c), g2,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        m = th * wp
+        prev, nxt = _shifted_cols(xs)
+        for j, op in ((0, prev), (1, xs), (2, nxt)):
+            dw_ref[ky, j] += jax.lax.dot_general(
+                op.reshape(m, LANES), g2,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
 
     ky_dot(body, 1)  # middle row needs no halo — overlaps the DMAs
 
@@ -245,7 +267,7 @@ def _dw_kernel(x_ref, g_ref, x_any, dw_ref, halo, sem, *, th, wp, c):
 
 
 def _conv3x3_wp_dw_impl(x: jax.Array, g: jax.Array, c: int) -> jax.Array:
-    """Packed weight grad (3, 128+2C, 128) f32; unpack via unpack_dw."""
+    """Packed weight grad (3, 3, 128, 128) f32; unpack via unpack_dw."""
     n, h, w, _ = x.shape
     p = LANES // c
     wp = w // p
@@ -261,16 +283,16 @@ def _conv3x3_wp_dw_impl(x: jax.Array, g: jax.Array, c: int) -> jax.Array:
             pl.BlockSpec((1, th, wp, LANES), lambda nn, ii: (nn, ii, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((3, LANES + 2 * c, LANES),
-                               lambda nn, ii: (0, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((3, LANES + 2 * c, LANES),
+        out_specs=pl.BlockSpec((3, 3, LANES, LANES),
+                               lambda nn, ii: (0, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((3, 3, LANES, LANES),
                                        jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((2, 1, wp, LANES), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * n * h * wp * 3 * (LANES + 2 * c) * LANES,
+            flops=2 * 9 * n * h * wp * LANES * LANES,
             bytes_accessed=2 * (2 * n * h * wp * LANES),
             transcendentals=0,
         ),
@@ -279,19 +301,22 @@ def _conv3x3_wp_dw_impl(x: jax.Array, g: jax.Array, c: int) -> jax.Array:
 
 
 def unpack_dw(dwk: jax.Array, c: int, dtype) -> jax.Array:
-    """(3, 128+2C, 128) packed weight-grad -> (3, 3, C, C).
+    """(3, 3, 128, 128) packed weight-grad -> (3, 3, C, C).
 
-    Each W[ky, kx, ci, co] contributed to every (e, px) with e - px = kx;
-    the adjoint sums those cells back.
+    The adjoint of pack_weights: sum every packed cell a given
+    W[ky, kx, ci, co] was scattered to (body pixel pairs pi-px+1 = kx,
+    plus the prev/next tile spill blocks).
     """
     p = LANES // c
     dw = jnp.zeros((3, 3, c, c), jnp.float32)
-    for e in range(p + 2):
+    for pi in range(p):
         for px in range(p):
-            kx = e - px
+            kx = pi - px + 1
             if 0 <= kx <= 2:
                 dw = dw.at[:, kx].add(
-                    dwk[:, c * e:c * (e + 1), px * c:(px + 1) * c])
+                    dwk[:, 1, c * pi:c * (pi + 1), c * px:c * (px + 1)])
+    dw = dw.at[:, 0].add(dwk[:, 0, LANES - c:, :c])
+    dw = dw.at[:, 2].add(dwk[:, 2, :c, LANES - c:])
     return dw.astype(dtype)
 
 
