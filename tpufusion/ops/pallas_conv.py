@@ -72,10 +72,16 @@ def _supported(x_shape, w_shape, dtype=None) -> bool:
 
 
 @functools.lru_cache(maxsize=None)
-def _tile_rows(h: int) -> int:
-    """Largest row-tile <=32 dividing h (VMEM budget ~4MB at WP<=256)."""
+def _tile_rows(h: int, wp: int) -> int:
+    """Largest row-tile <=32 dividing h with th*wp <= 4096.
+
+    The scoped-VMEM stack holds the double-buffered body/out blocks, the
+    f32 accumulator, the row-halo concat and the two sublane-shift
+    transients — th*wp = 8192 (th=32 at wp=256) allocated 18.1MB against
+    the 16MB v5e limit (measured r5, AOT compile failure); th*wp = 4096
+    stays ~10MB."""
     for th in (32, 16, 8):
-        if h % th == 0:
+        if h % th == 0 and th * wp <= 4096:
             return th
     return 1
 
@@ -183,7 +189,7 @@ def _conv3x3_wp_fwd_impl(x: jax.Array, wk: jax.Array) -> jax.Array:
     n, h, w, c = x.shape
     p = LANES // c
     wp = w // p
-    th = _tile_rows(h)
+    th = _tile_rows(h, wp)
     xp = x.reshape(n, h, wp, LANES)
     kern = functools.partial(_fwd_kernel, th=th, wp=wp, c=c)
     yp = pl.pallas_call(
@@ -271,7 +277,7 @@ def _conv3x3_wp_dw_impl(x: jax.Array, g: jax.Array, c: int) -> jax.Array:
     n, h, w, _ = x.shape
     p = LANES // c
     wp = w // p
-    th = _tile_rows(h)
+    th = _tile_rows(h, wp)
     xp = x.reshape(n, h, wp, LANES)
     gp = g.reshape(n, h, wp, LANES)
     kern = functools.partial(_dw_kernel, th=th, wp=wp, c=c)
