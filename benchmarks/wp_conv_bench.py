@@ -63,16 +63,19 @@ def main() -> int:
         t_xla_f = timed(fwd_x, x, w)
         t_wp_f = timed(fwd_p, x, w)
 
-        def loss_x(a, b):
-            return jnp.sum((direct(a, b) * g).astype(jnp.float32))
+        # g rides as an ARGUMENT: a closed-over jax.Array embeds as an HLO
+        # constant (512 MB here) and overflows the remote compile helper's
+        # request limit (HTTP 413, measured r5).
+        def loss_x(a, b, gg):
+            return jnp.sum((direct(a, b) * gg).astype(jnp.float32))
 
-        def loss_p(a, b):
-            return jnp.sum((conv3x3_wp(a, b) * g).astype(jnp.float32))
+        def loss_p(a, b, gg):
+            return jnp.sum((conv3x3_wp(a, b) * gg).astype(jnp.float32))
 
         bwd_x = jax.jit(jax.grad(loss_x, (0, 1)))
         bwd_p = jax.jit(jax.grad(loss_p, (0, 1)))
-        t_xla_b = timed(bwd_x, x, w)
-        t_wp_b = timed(bwd_p, x, w)
+        t_xla_b = timed(bwd_x, x, w, g)
+        t_wp_b = timed(bwd_p, x, w, g)
 
         nominal = 2 * n * h * h * 9 * c * c
         result = {

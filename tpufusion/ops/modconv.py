@@ -155,17 +155,26 @@ _S2D_TAIL_ENABLED = os.environ.get(
 # s2d path.  Same read-once discipline as the s2d flag.
 _WP_TAIL_ENABLED = os.environ.get(
     "TPUFUSION_WP_TAIL", "0").lower() in ("1", "on", "true")
+# Channel subset for the wp path: isolated wp wins at C=32 (1.27x fwd /
+# 1.32x grad at 1024^2) but LOSES at C=64 (0.86x/0.93x at 512^2, where the
+# 2x spill tax buys only 2x occupancy against an already-decent XLA conv) —
+# measured r5, benchmarks/wp_conv_bench.py.
+_WP_CHANNELS = frozenset(
+    int(t) for t in os.environ.get(
+        "TPUFUSION_WP_CHANNELS", "32,64").split(",") if t.strip())
 
 
-def set_wp_tail(enabled: bool) -> None:
+def set_wp_tail(enabled: bool, channels=None) -> None:
     """Toggle the width-packed Pallas tail-conv path for NEW traces."""
-    global _WP_TAIL_ENABLED
+    global _WP_TAIL_ENABLED, _WP_CHANNELS
     _WP_TAIL_ENABLED = bool(enabled)
+    if channels is not None:
+        _WP_CHANNELS = frozenset(channels)
     jax.clear_caches()
 
 
 def _use_wp(x_shape, w_shape, dtype=None) -> bool:
-    if not _WP_TAIL_ENABLED:
+    if not _WP_TAIL_ENABLED or x_shape[-1] not in _WP_CHANNELS:
         return False
     from tpufusion.ops.pallas_conv import _supported
 
