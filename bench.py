@@ -57,6 +57,13 @@ def log(msg: str) -> None:
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
+# Incrementally-populated partial result: if a later submetric crashes the
+# process, the __main__ guard salvages the headline + every submetric that
+# completed (the first on-hardware r5 run lost a measured 341-steps/s
+# headline to a b2x OOM that struck AFTER it).
+_PARTIAL: dict = {}
+
+
 def tpu_alive(timeout_s: int = 300) -> bool:
     """Probe the TPU backend in a SUBPROCESS before the main process touches
     jax.  Tunnel failures HANG rather than error (the r4 outage: backend init
@@ -316,6 +323,13 @@ def main() -> int:
     submetrics["classifier_pgd_flipped"] = f"{flipped}/{batch}"
     submetrics["classifier_clean_margin"] = round(m_clean, 4)
     submetrics["classifier_margin_drop"] = round(m_drop, 4)
+    _PARTIAL.update({
+        "metric": f"PGD attack steps/sec, batch-{batch}, {size}^2 fusion inputs",
+        "value": round(steps_per_sec, 3),
+        "unit": "steps/sec",
+        "vs_baseline": round(steps_per_sec / 100.0, 3),
+        "submetrics": submetrics,  # mutated in place by the blocks below
+    })
 
     if submetrics_on:
         run_submetrics(pipeline, imgs, enc, factor, size, steps, submetrics)
@@ -404,6 +418,10 @@ def run_submetrics(pipeline, imgs, enc, factor, size, steps, out: dict) -> None:
         f"{n_wsteps / wdt:.2f} steps/sec (enc+dec+vgg backward)")
     out["whitebox_steps_per_sec"] = round(n_wsteps / wdt, 3)
     out["whitebox_ms_per_step"] = round(1000 * wdt / n_wsteps, 2)
+    # free the batch-8 attack state (pixels + Adam moments + targets,
+    # ~0.5 GB at 1024^2) before the effective-batch-2x run below — the
+    # first on-hardware b2x run OOMed with these still resident
+    del state, terms, adv2, dtrace
 
     # ---- white-box microbatch (VERDICT r4 #8): effective batch 2x via
     # grad_accum=2 — the single-chip answer to the batch-16 @1024^2 OOM
@@ -418,23 +436,31 @@ def run_submetrics(pipeline, imgs, enc, factor, size, steps, out: dict) -> None:
         wcfg, n_iters=ga_iters, execution="stepwise", grad_accum=2)
     ga_attack = vmap_whitebox_stepwise(pipeline, ga_cfg)
     imgs2x = jnp.concatenate([imgs, -imgs])
-    t0 = time.time()
-    _adv, gatr = ga_attack(imgs2x, targets[:1])
-    _ = float(gatr["total"][0, -1])
-    log(f"whitebox microbatch compile+warmup ({ga_iters} iters, "
-        f"batch {imgs2x.shape[0]} eff = 2 x {batch}) in "
-        f"{time.time() - t0:.1f}s")
-    t0 = time.time()
-    _adv, gatr = ga_attack(imgs2x, targets[:1])
-    _ = float(gatr["total"][0, -1])
-    gdt = time.time() - t0
-    log(f"whitebox microbatch (grad_accum=2): {ga_iters} steps at "
-        f"effective batch {imgs2x.shape[0]} in {gdt:.2f}s -> "
-        f"{ga_iters / gdt:.2f} steps/sec "
-        f"({1000 * gdt / ga_iters:.1f} ms/step, no OOM)")
-    out["whitebox_b2x_eff_batch"] = int(imgs2x.shape[0])
-    out["whitebox_b2x_steps_per_sec"] = round(ga_iters / gdt, 3)
-    out["whitebox_b2x_ms_per_step"] = round(1000 * gdt / ga_iters, 2)
+    try:
+        t0 = time.time()
+        _adv, gatr = ga_attack(imgs2x, targets[:1])
+        _ = float(gatr["total"][0, -1])
+        log(f"whitebox microbatch compile+warmup ({ga_iters} iters, "
+            f"batch {imgs2x.shape[0]} eff = 2 x {batch}) in "
+            f"{time.time() - t0:.1f}s")
+        del _adv, gatr  # the warmup's 2x pixel output, live across the timed run
+        t0 = time.time()
+        _adv, gatr = ga_attack(imgs2x, targets[:1])
+        _ = float(gatr["total"][0, -1])
+        gdt = time.time() - t0
+        log(f"whitebox microbatch (grad_accum=2): {ga_iters} steps at "
+            f"effective batch {imgs2x.shape[0]} in {gdt:.2f}s -> "
+            f"{ga_iters / gdt:.2f} steps/sec "
+            f"({1000 * gdt / ga_iters:.1f} ms/step, no OOM)")
+        out["whitebox_b2x_eff_batch"] = int(imgs2x.shape[0])
+        out["whitebox_b2x_steps_per_sec"] = round(ga_iters / gdt, 3)
+        out["whitebox_b2x_ms_per_step"] = round(1000 * gdt / ga_iters, 2)
+        del _adv, gatr
+    except Exception as exc:  # noqa: BLE001 — one OOMing submetric must
+        # not forfeit the rest of the round's evidence (VERDICT r4 #1)
+        log(f"whitebox microbatch FAILED ({exc!r}) — continuing")
+        out["whitebox_b2x_error"] = repr(exc)
+    del imgs2x, ga_attack
 
     # ---- partial-fusion sweep: N+1 spatial variants as ONE batched
     # synthesis (`interpolation.py:978-1031`; eval/partial.py)
@@ -582,11 +608,18 @@ if __name__ == "__main__":
         import traceback
 
         traceback.print_exc()
-        print(json.dumps({
-            "metric": "bench crashed before producing a headline",
-            "value": 0.0,
-            "unit": "steps/sec",
-            "vs_baseline": 0.0,
-            "error": repr(exc),
-        }))
+        if _PARTIAL.get("value"):
+            # the headline (and every completed submetric) was measured
+            # before the failure — salvage it
+            _PARTIAL["error"] = repr(exc)
+            _PARTIAL["partial"] = True
+            print(json.dumps(_PARTIAL))
+        else:
+            print(json.dumps({
+                "metric": "bench crashed before producing a headline",
+                "value": 0.0,
+                "unit": "steps/sec",
+                "vs_baseline": 0.0,
+                "error": repr(exc),
+            }))
         sys.exit(0)
