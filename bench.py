@@ -608,7 +608,7 @@ if __name__ == "__main__":
         import traceback
 
         traceback.print_exc()
-        if _PARTIAL.get("value"):
+        if "value" in _PARTIAL:
             # the headline (and every completed submetric) was measured
             # before the failure — salvage it
             _PARTIAL["error"] = repr(exc)

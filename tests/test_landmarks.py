@@ -101,6 +101,23 @@ class TestLandmarkNet:
                                   input_size=SIZE)
         assert landmark_net_input_size(sized) == SIZE
 
+    def test_foreign_stem_sidecar_is_ignored(self, trained_net, tmp_path):
+        """A same-stem JSON that is NOT a landmark sidecar (e.g. a
+        training-config dump without ``input_size``) must not crash the
+        probe — the documented contract is None for sidecar-less files."""
+        import json
+
+        from tpufusion.models.landmarks import landmark_net_input_size
+
+        net, variables, _, _ = trained_net
+        bare = save_landmark_net(variables, str(tmp_path / "foreign.npz"))
+        with open(tmp_path / "foreign.json", "w") as f:
+            json.dump({"lr": 1e-3, "note": "not a sidecar"}, f)
+        assert landmark_net_input_size(bare) is None
+        (tmp_path / "broken.json").write_text("{not json")
+        bare2 = save_landmark_net(variables, str(tmp_path / "broken.npz"))
+        assert landmark_net_input_size(bare2) is None
+
     def test_input_size_resolves_packaged_stem_sidecar(self):
         """Passing the packaged npz path directly (the --landmark_net
         override the CLI documents) must find the ``landmark_net.json``

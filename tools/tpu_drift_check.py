@@ -25,26 +25,30 @@ import json
 import os
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
 
 import jax  # noqa: E402
-
-if "--cpu" in sys.argv:
-    # smoke mode: replays on the host CPU (drift vs the CPU-minted goldens
-    # is ~0) — validates the tool without the TPU tunnel.  The env var is
-    # ignored by the axon plugin; the config update is what forces CPU.
-    jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_default_matmul_precision", "highest")
-jax.config.update("jax_compilation_cache_dir",
-                  "/root/repo/tests/.jax_cache" if "--cpu" in sys.argv
-                  else "/root/repo/.jax_cache_tpu")
-
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
-GOLDEN_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "tests", "goldens")
+GOLDEN_DIR = os.path.join(_ROOT, "tests", "goldens")
+
+
+def _configure_backend(cpu: bool) -> None:
+    """Apply backend config BEFORE the first jax computation (main calls
+    this right after argparse, so it also works for programmatic
+    ``main(["--cpu"])`` — not just the CLI)."""
+    if cpu:
+        # smoke mode: replays on the host CPU (drift vs the CPU-minted
+        # goldens is ~0) — validates the tool without the TPU tunnel.  The
+        # env var is ignored by the axon plugin; the config update is what
+        # forces CPU.
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_default_matmul_precision", "highest")
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(_ROOT, "tests", ".jax_cache") if cpu
+                      else os.path.join(_ROOT, ".jax_cache_tpu"))
 
 
 def _drift(name: str, got, want, report: list) -> None:
@@ -105,6 +109,7 @@ def main(argv=None) -> int:
     p.add_argument("--cpu", action="store_true",
                    help="smoke mode: run on host CPU (expect ~0 drift)")
     args = p.parse_args(argv)
+    _configure_backend(args.cpu)
 
     backend = jax.default_backend()
     print(f"backend={backend} devices={jax.devices()}")

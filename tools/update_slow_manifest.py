@@ -6,7 +6,7 @@ the 1-core reference box while `pytest tests/` stays the full CI tier.
 
 Usage:
     python -m pytest tests/ -q --durations=0 > /tmp/durations.log
-    python tools/update_slow_manifest.py /tmp/durations.log [--threshold 5.0]
+    python tools/update_slow_manifest.py /tmp/durations.log [--threshold 3.0]
 """
 
 from __future__ import annotations
@@ -28,8 +28,10 @@ HEADER = """\
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("log", help="pytest output containing --durations lines")
-    p.add_argument("--threshold", type=float, default=5.0,
-                   help="mark tests with call time >= this many seconds")
+    p.add_argument("--threshold", type=float, default=3.0,
+                   help="mark tests with call time >= this many seconds "
+                        "(the committed manifest was generated at 3.0 — "
+                        "keep the default in sync with its header)")
     p.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "tests", "slow_manifest.txt"))

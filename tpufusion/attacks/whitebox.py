@@ -95,10 +95,13 @@ class WhiteboxConfig:
     # sequential chunks per iteration so effective batches beyond the
     # single-chip activation ceiling (batch-8 @1024²; batch-16 OOMs at
     # 18.1 vs 15.75 GB) still run on one chip.  Per-image Adam
-    # trajectories are independent, so chunked == unchunked bitwise; only
-    # one chunk's fwd/bwd activations are live at a time while the full
-    # batch's state (pixels + moments) stays resident.  Stepwise execution
-    # only — each chunk reuses ONE compiled step program.
+    # trajectories are independent, so chunked == unchunked up to fp32
+    # reduction-order epsilon (the chunked program compiles at a smaller
+    # batch, so XLA's fusion/reduction order differs — see
+    # test_grad_accum_matches_unchunked, atol 5e-5); only one chunk's
+    # fwd/bwd activations are live at a time while the full batch's state
+    # (pixels + moments) stays resident.  Stepwise execution only — each
+    # chunk reuses ONE compiled step program.
     grad_accum: int = 1
 
 

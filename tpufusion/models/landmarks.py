@@ -467,8 +467,13 @@ def landmark_net_input_size(path: str) -> Optional[int]:
 
     for candidate in (path + ".json", os.path.splitext(path)[0] + ".json"):
         if os.path.exists(candidate):
-            with open(candidate) as f:
-                return int(json.load(f)["input_size"])
+            try:
+                with open(candidate) as f:
+                    size = json.load(f).get("input_size")
+            except (ValueError, OSError):
+                continue  # foreign/unreadable same-stem JSON — keep probing
+            if size is not None:
+                return int(size)
     return None
 
 

@@ -161,7 +161,7 @@ _WP_TAIL_ENABLED = os.environ.get(
 # measured r5, benchmarks/wp_conv_bench.py.
 _WP_CHANNELS = frozenset(
     int(t) for t in os.environ.get(
-        "TPUFUSION_WP_CHANNELS", "32,64").split(",") if t.strip())
+        "TPUFUSION_WP_CHANNELS", "32").split(",") if t.strip())
 
 
 def set_wp_tail(enabled: bool, channels=None) -> None:
